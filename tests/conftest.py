@@ -1,0 +1,17 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Multi-chip sharding tests run on a virtual mesh of 8 CPU devices
+(`xla_force_host_platform_device_count`), mirroring how the driver validates
+`dryrun_multichip`. Must run before jax initializes a backend.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
