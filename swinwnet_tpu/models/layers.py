@@ -1,0 +1,714 @@
+"""flax.linen building blocks of the SwinWNet model family.
+
+Design notes (TPU-first, not a translation):
+
+* Tokens travel as **[B, H, W, C] grids**, not flattened [B, L, C] sequences —
+  resolution is carried by the array shape instead of side-channel tuples,
+  windowing is a static reshape, and NHWC is the native TPU conv layout.
+* All pad/crop arithmetic is **static**: under `jit` the grid shape is a
+  Python int, so the reference's runtime padding (SwinWNet.py:86-106,
+  282-302) becomes trace-time constants.
+* The reference's `ScaleAwarePatchEmbed` mutates `self.proj.dilation/stride`
+  at call time (SwinWNet.py:60-67); here the *same kernel array* is applied
+  through `lax.conv_general_dilated` with scale-dependent static strides /
+  rhs_dilation — functionally identical, JAX-pure.
+* Numerics match PyTorch for checkpoint parity: LayerNorm eps=1e-5, exact
+  (erf) GELU, qkv packing order, relative-position bias indexing, and
+  torch-style kaiming-uniform Dense/Conv initialization.
+
+Reference file for all layer semantics: /root/reference/SwinWNet.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.window import compute_mask, window_partition, window_reverse
+from ..ops.resize import bilinear_resize
+
+# ---------------------------------------------------------------------------
+# torch-compatible initializers / primitives
+# ---------------------------------------------------------------------------
+
+# torch nn.Linear / nn.Conv2d default: kaiming_uniform(a=sqrt(5)) ==
+# U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(key, shape, dtype, fan_in):
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def gelu_exact(x):
+    """torch nn.GELU default (erf form); jax.nn.gelu defaults to tanh approx."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def matmul_precision(dtype) -> jax.lax.Precision:
+    """fp32 compute requests HIGHEST so the MXU does full-precision passes
+    (checkpoint parity); bf16 compute uses the fast default path."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
+class Dense(nn.Module):
+    """nn.Linear with torch-default init (incl. fan-in uniform bias)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", torch_kernel_init, (fan_in, self.features), jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype), precision=matmul_precision(self.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias", lambda k, s, d: torch_bias_init(k, s, d, fan_in), (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the channel axis, torch eps=1e-5, fp32 statistics."""
+
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(self.dtype)
+
+
+class Conv(nn.Module):
+    """NHWC conv with torch-default init."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    padding: str = "SAME"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        fan_in = in_ch * kh * kw
+        kernel = self.param(
+            "kernel", torch_kernel_init, (kh, kw, in_ch, self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias", lambda k, s, d: torch_bias_init(k, s, d, fan_in), (self.features,), jnp.float32
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=matmul_precision(self.dtype),
+        )
+        return y + bias.astype(self.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Patch embedding
+# ---------------------------------------------------------------------------
+
+
+class ScaleAwarePatchEmbed(nn.Module):
+    """One conv kernel embeds both LR (scale 1) and SR-output (scale 2) images
+    onto the *same token grid* (reference: SwinWNet.py:29-82).
+
+    scale 1: stride=p, dilation=1 over [B, C, H, W]
+    scale 2: stride=2p, rhs_dilation=2 over [B, C, 2H, 2W] -> identical grid.
+
+    Returns ([B, h, w, embed_dim] token grid, (H_pad, W_pad)).
+    Input is NCHW to match the reference's public API.
+    """
+
+    patch_size: int = 2
+    in_chans: int = 1
+    embed_dim: int = 48
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale_factor: int = 1):
+        p, s = self.patch_size, scale_factor
+        B, C, H, W = x.shape
+        assert C == self.in_chans, f"expected {self.in_chans} channels, got {C}"
+        fan_in = self.in_chans * p * p
+        kernel = self.param(
+            "proj_kernel", torch_kernel_init, (p, p, self.in_chans, self.embed_dim), jnp.float32
+        )
+        bias = self.param(
+            "proj_bias",
+            lambda k, sh, d: torch_bias_init(k, sh, d, fan_in),
+            (self.embed_dim,),
+            jnp.float32,
+        )
+
+        x = x.transpose(0, 2, 3, 1)  # NHWC
+        # pad so that the strided/dilated conv covers the full image
+        # (the reference formula at SwinWNet.py:70-71 is a no-op for the
+        # supported 250x480 / 500x960 geometry; we pad to a multiple of p*s)
+        m = p * s
+        pad_h = (m - H % m) % m
+        pad_w = (m - W % m) % m
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        new_H, new_W = H + pad_h, W + pad_w
+
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(p * s, p * s),
+            padding="VALID",
+            rhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=matmul_precision(self.dtype),
+        )
+        y = y + bias.astype(self.dtype)
+        y = LayerNorm(dtype=self.dtype, name="norm")(y)
+        return y, (new_H, new_W)
+
+
+# ---------------------------------------------------------------------------
+# Window attention
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def relative_position_index(window_size: int) -> np.ndarray:
+    """Static [N, N] index into the (2w-1)^2 bias table (SwinWNet.py:163-172)."""
+    ws = window_size
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))  # 2, w, w
+    coords_flat = coords.reshape(2, -1)
+    rel = coords_flat[:, :, None] - coords_flat[:, None, :]  # 2, N, N
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)
+
+
+class WindowAttention(nn.Module):
+    """MSA within a window with learned relative-position bias
+    (reference: SwinWNet.py:151-209).
+
+    Input: [num_windows_total, N, C] window tokens; optional additive mask
+    [nW, N, N] for shifted windows.
+    """
+
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None, deterministic: bool = True):
+        Bw, N, C = x.shape
+        nH = self.num_heads
+        hd = C // nH
+        scale = hd**-0.5
+
+        qkv = Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(Bw, N, 3, nH, hd).transpose(2, 0, 3, 1, 4)  # 3, Bw, nH, N, hd
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        q = q * scale
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32, precision=matmul_precision(self.dtype))
+
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.normal(stddev=0.02),
+            ((2 * self.window_size - 1) ** 2, nH),
+            jnp.float32,
+        )
+        rpi = jnp.asarray(relative_position_index(self.window_size))
+        rel_bias = bias_table[rpi.reshape(-1)].reshape(N, N, nH).transpose(2, 0, 1)
+        attn = attn + rel_bias[None]
+
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(Bw // nW, nW, nH, N, N) + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(Bw, nH, N, N)
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32, precision=matmul_precision(self.dtype))
+        out = out.transpose(0, 2, 1, 3).reshape(Bw, N, C).astype(self.dtype)
+        out = Dense(C, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out
+
+
+class Mlp(nn.Module):
+    """2-layer MLP with exact GELU (reference: SwinWNet.py:228-234)."""
+
+    hidden: int
+    out: int
+    drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = gelu_exact(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class SwinTransformerBlock(nn.Module):
+    """Pre-LN W-MSA / SW-MSA block over a [B, H, W, C] grid
+    (reference: SwinWNet.py:211-280)."""
+
+    dim: int
+    num_heads: int
+    window_size: int = 5
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, H, W, C = x.shape
+        shortcut = x
+
+        x = LayerNorm(dtype=self.dtype, name="norm1")(x)
+
+        if self.shift_size > 0:
+            x = jnp.roll(x, shift=(-self.shift_size, -self.shift_size), axis=(1, 2))
+            attn_mask = compute_mask(H, W, self.window_size, self.shift_size)
+        else:
+            attn_mask = None
+
+        x_windows, (Hp, Wp) = window_partition(x, self.window_size)
+        attn_windows = WindowAttention(
+            dim=self.dim,
+            window_size=self.window_size,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+            name="attn",
+        )(x_windows, mask=attn_mask, deterministic=deterministic)
+        x = window_reverse(attn_windows, self.window_size, Hp, Wp)
+
+        if self.shift_size > 0:
+            x = jnp.roll(x, shift=(self.shift_size, self.shift_size), axis=(1, 2))
+        if Hp != H or Wp != W:
+            x = x[:, :H, :W, :]
+
+        # reference simplifies drop_path to plain Dropout (SwinWNet.py:225)
+        x = nn.Dropout(self.drop_path, deterministic=deterministic)(x)
+        x = shortcut + x
+
+        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = Mlp(
+            hidden=int(self.dim * self.mlp_ratio),
+            out=self.dim,
+            drop=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, deterministic=deterministic)
+        y = nn.Dropout(self.drop_path, deterministic=deterministic)(y)
+        return x + y
+
+
+class BasicLayer(nn.Module):
+    """Stack of `depth` Swin blocks; shift_size=0 for every block, matching
+    the shipped checkpoints (reference: SwinWNet.py:318-340, ':328 always 0')."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int = 5
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for i in range(self.depth):
+            x = SwinTransformerBlock(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift_size=self.shift_size,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop,
+                attn_drop=self.attn_drop,
+                drop_path=self.drop_path,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x, deterministic=deterministic)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Down / up sampling
+# ---------------------------------------------------------------------------
+
+
+class PatchMerging(nn.Module):
+    """2x downsample: 2x2 neighbor concat -> LN -> Linear(4C->2C, no bias)
+    (reference: SwinWNet.py:282-316)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        pad_h = H % 2
+        pad_w = W % 2
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        x0 = x[:, 0::2, 0::2, :]
+        x1 = x[:, 1::2, 0::2, :]
+        x2 = x[:, 0::2, 1::2, :]
+        x3 = x[:, 1::2, 1::2, :]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
+        return x
+
+
+class PatchExpanding(nn.Module):
+    """2x upsample: Linear(C->2C, no bias) -> pixel-shuffle -> LN
+    (reference: SwinWNet.py:390-412)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="expand")(x)
+        x = x.reshape(B, H, W, 2, 2, C // 2)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, C // 2)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Encoder / bottleneck / decoder
+# ---------------------------------------------------------------------------
+
+
+class SwinEncoder(nn.Module):
+    """4 stages of (BasicLayer -> skip -> PatchMerging) + final BasicLayer
+    (reference: SwinWNet.py:342-378). Returns the list of skip grids; the last
+    entry is the deepest (pre-bottleneck) feature map."""
+
+    embed_dim: int = 48
+    depths: Sequence[int] = (2, 2, 2, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: int = 5
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        skips = []
+        dim = self.embed_dim
+        n = len(self.depths)
+        for i in range(n - 1):
+            x = BasicLayer(
+                dim=dim,
+                depth=self.depths[i],
+                num_heads=self.num_heads[i],
+                window_size=self.window_size,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop,
+                attn_drop=self.attn_drop,
+                drop_path=self.drop_path,
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(x, deterministic=deterministic)
+            skips.append(x)
+            x = PatchMerging(dim=dim, dtype=self.dtype, name=f"downs_{i}")(x)
+            dim *= 2
+        x = BasicLayer(
+            dim=dim,
+            depth=self.depths[-1],
+            num_heads=self.num_heads[-1],
+            window_size=self.window_size,
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias,
+            drop=self.drop,
+            attn_drop=self.attn_drop,
+            drop_path=self.drop_path,
+            dtype=self.dtype,
+            name=f"layers_{n-1}",
+        )(x, deterministic=deterministic)
+        skips.append(x)
+        return skips
+
+
+class Bottleneck(nn.Module):
+    """Depth-2 BasicLayer at 8C (reference: SwinWNet.py:380-388)."""
+
+    dim: int
+    num_heads: int
+    window_size: int = 5
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        return BasicLayer(
+            dim=self.dim,
+            depth=2,
+            num_heads=self.num_heads,
+            window_size=self.window_size,
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias,
+            drop=self.drop,
+            attn_drop=self.attn_drop,
+            drop_path=self.drop_path,
+            dtype=self.dtype,
+            name="layer",
+        )(x, deterministic=deterministic)
+
+
+class SwinDecoder(nn.Module):
+    """3 stages: PatchExpanding -> crop-to-skip -> concat -> BasicLayer ->
+    Linear(2C->C) (reference: SwinWNet.py:427-493). Decoder depths/heads are
+    `depths[-2::-1]` / `num_heads[-2::-1]` (SwinWNet.py:437-438)."""
+
+    embed_dim: int = 48
+    depths: Sequence[int] = (2, 2, 2, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: int = 5
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skips, deterministic: bool = True):
+        dec_depths = tuple(self.depths[-2::-1])
+        dec_heads = tuple(self.num_heads[-2::-1])
+        skips = skips[-2::-1]
+
+        dim = self.embed_dim * 8
+        for i in range(len(self.depths) - 1):
+            expanded = dim // 2
+            concat_dim = dim
+
+            x = PatchExpanding(dim=dim, dtype=self.dtype, name=f"ups_{i}")(x)
+
+            skip = skips[i]
+            th, tw = skip.shape[1], skip.shape[2]
+            if x.shape[1] != th or x.shape[2] != tw:
+                x = x[:, :th, :tw, :]
+
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = BasicLayer(
+                dim=concat_dim,
+                depth=dec_depths[i],
+                num_heads=dec_heads[i],
+                window_size=self.window_size,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop,
+                attn_drop=self.attn_drop,
+                drop_path=self.drop_path,
+                dtype=self.dtype,
+                name=f"swin_blocks_{i}",
+            )(x, deterministic=deterministic)
+            x = Dense(expanded, dtype=self.dtype, name=f"linears_{i}")(x)
+            dim = expanded
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Heads
+# ---------------------------------------------------------------------------
+
+
+class SegmentationHead(nn.Module):
+    """Conv3x3+GELU+Conv1x1 -> bilinear x(p*scale) -> crop; 1-channel logits
+    (reference: SwinWNet.py:495-531). Input [B, h, w, C] grid; output NCHW."""
+
+    embed_dim: int = 48
+    patch_size: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, padded_res: Tuple[int, int], scale_factor: int = 1):
+        H, W = padded_res
+        x = Conv(self.embed_dim // 2, (3, 3), dtype=self.dtype, name="conv1")(x)
+        x = gelu_exact(x)
+        x = Conv(1, (1, 1), dtype=self.dtype, name="conv2")(x)
+        x = x.transpose(0, 3, 1, 2)  # NCHW
+        up = self.patch_size * scale_factor
+        x = bilinear_resize(x, x.shape[2] * up, x.shape[3] * up)
+        return x[:, :, :H, :W]
+
+
+class UpscalingHead(nn.Module):
+    """2x (PatchExpanding + depth-2 BasicLayer) + conv reconstruction; output
+    has 2 channels when error_matrix else 1 (reference: SwinWNet.py:594-688).
+    Input [B, h, w, C] grid; output NCHW at 4x the token resolution."""
+
+    error_matrix: bool = False
+    embed_dim: int = 48
+    patch_size: int = 2
+    window_size: int = 5
+    num_heads: int = 3
+    depth: int = 2
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        dim = self.embed_dim
+        for i in range(2):
+            x = PatchExpanding(dim=dim, dtype=self.dtype, name=f"ups_{i}")(x)
+            x = BasicLayer(
+                dim=dim // 2,
+                depth=self.depth,
+                num_heads=self.num_heads,
+                window_size=self.window_size,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop,
+                attn_drop=self.attn_drop,
+                drop_path=self.drop_path,
+                dtype=self.dtype,
+                name=f"swin_blocks_{i}",
+            )(x, deterministic=deterministic)
+            dim //= 2
+
+        out_ch = 2 if self.error_matrix else 1
+        x = Conv(dim, (3, 3), dtype=self.dtype, name="conv1")(x)
+        x = gelu_exact(x)
+        x = Conv(out_ch, (1, 1), dtype=self.dtype, name="conv2")(x)
+        return x.transpose(0, 3, 1, 2)  # NCHW
+
+
+# ---------------------------------------------------------------------------
+# Cross attention between towers
+# ---------------------------------------------------------------------------
+
+
+class CrossAttentionBlock(nn.Module):
+    """LN(q), LN(kv) -> multi-head cross attention -> q + gamma * out with
+    gamma init 0 so the towers start decoupled (reference: SwinWNet.py:764-783).
+
+    Matches torch nn.MultiheadAttention numerics: packed in-projection,
+    q scaled by head_dim**-0.5 after projection. Operates on [B, L, C]
+    full-token sequences (callers flatten grids)."""
+
+    dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, kv):
+        B, Lq, C = q.shape
+        nH = self.num_heads
+        hd = C // nH
+
+        qn = LayerNorm(dtype=self.dtype, name="norm_q")(q)
+        kvn = LayerNorm(dtype=self.dtype, name="norm_kv")(kv)
+
+        # torch MHA in_proj: xavier_uniform over the packed [3C, C] weight
+        in_proj_w = self.param(
+            "in_proj_kernel", nn.initializers.xavier_uniform(), (C, 3 * C), jnp.float32
+        )
+        in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * C,), jnp.float32)
+
+        qp = jnp.dot(qn.astype(self.dtype), in_proj_w[:, :C].astype(self.dtype), precision=matmul_precision(self.dtype)) + in_proj_b[:C]
+        kp = (
+            jnp.dot(kvn.astype(self.dtype), in_proj_w[:, C : 2 * C].astype(self.dtype), precision=matmul_precision(self.dtype))
+            + in_proj_b[C : 2 * C]
+        )
+        vp = (
+            jnp.dot(kvn.astype(self.dtype), in_proj_w[:, 2 * C :].astype(self.dtype), precision=matmul_precision(self.dtype))
+            + in_proj_b[2 * C :]
+        )
+
+        Lk = kv.shape[1]
+        qp = qp.reshape(B, Lq, nH, hd).transpose(0, 2, 1, 3) * (hd**-0.5)
+        kp = kp.reshape(B, Lk, nH, hd).transpose(0, 2, 1, 3)
+        vp = vp.reshape(B, Lk, nH, hd).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", qp, kp, preferred_element_type=jnp.float32, precision=matmul_precision(self.dtype))
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, vp, preferred_element_type=jnp.float32, precision=matmul_precision(self.dtype))
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, C).astype(self.dtype)
+        out = Dense(C, dtype=self.dtype, name="out_proj")(out)
+
+        gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
+        return q + gamma * out
+
+
+class MultiScaleCrossAttention(nn.Module):
+    """Zip of CrossAttentionBlocks over skip lists (reference: SwinWNet.py:785-797).
+    Accepts [B, H, W, C] grids, flattens to sequences internally."""
+
+    dims: Sequence[int]
+    heads: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, target_skips, source_skips):
+        out = []
+        for i, (t, s) in enumerate(zip(target_skips, source_skips)):
+            B, H, W, C = t.shape
+            t_seq = t.reshape(B, H * W, C)
+            s_seq = s.reshape(B, s.shape[1] * s.shape[2], s.shape[3])
+            y = CrossAttentionBlock(
+                dim=self.dims[i], num_heads=self.heads[i], dtype=self.dtype, name=f"blocks_{i}"
+            )(t_seq, s_seq)
+            out.append(y.reshape(B, H, W, C))
+        return out
