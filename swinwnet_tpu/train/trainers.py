@@ -1,0 +1,397 @@
+"""Supervised trainers: pure jitted train steps + thin epoch drivers.
+
+Reference semantics reproduced exactly:
+
+* Stage 1 (`SegmentatorTrainer`, Segmentator_pretrain.py:9-282): train the
+  segmentation tower on `segment_1` logits vs masks; upscaler + cross
+  attentions frozen; AdamW + warmup-cosine, loss from the string registry.
+* Stage 2 (`UpscalerTrainer`, Upscaler_pretrain.py:10-279): frozen-segmentator
+  preprocess (stop_gradient) -> mask -> bilinear x0.5 -> piecewise-normalize
+  LR & HR -> `upscale(norm_lr, skips)` vs `norm_hr`.
+* Stage 3 (`FullModelTrainer`, FullModel_supervised_trainer.py:10-329):
+  alternating even/odd batch objectives — even: seg loss + SR reconstruction
+  of the x0.5-downscaled masked input; odd: seg loss + HR seg loss through the
+  full SR -> denorm -> segment_2 path vs nearest-exact x2-upsampled masks.
+
+Unlike the reference's eager loops, each step is ONE compiled function
+(forward + backward + optimizer update); gradients flow exactly where torch
+autograd lets them (stage 2's preprocess is under stop_gradient, stage 3's
+mask/normalize path is differentiated through).
+
+Steps take/return an explicit `TrainState` and are `pjit`-able over a data
+mesh (see parallel/sharding.py and __graft_entry__.dryrun_multichip).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.swin_wnet import SwinWNet
+from ..ops.norms import ensure_2ch, normalize_piecewise, denormalize_piecewise
+from ..ops.resize import bilinear_downscale_half, nearest_exact_resize
+from .freeze import masked_adamw
+from .losses import get_segmentation_loss, get_upscaler_loss, l1_loss
+from .schedule import warmup_cosine_schedule
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation):
+        return cls(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def _apply_updates(state: TrainState, grads, tx) -> TrainState:
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+
+
+# ---------------------------------------------------------------------------
+# Pure step factories
+# ---------------------------------------------------------------------------
+
+
+def make_stage1_step(model: SwinWNet, tx, loss_fn) -> Callable:
+    """Segmentation pretrain step (Segmentator_pretrain.py:168-200)."""
+
+    def loss_of(params, images, masks):
+        seg, _ = model.apply({"params": params}, images, method=SwinWNet.segment_1)
+        return loss_fn(seg, masks)
+
+    @jax.jit
+    def step(state: TrainState, images, masks):
+        images = ensure_2ch(images)
+        masks = masks[:, None] if masks.ndim == 3 else masks
+        loss, grads = jax.value_and_grad(loss_of)(state.params, images, masks)
+        return _apply_updates(state, grads, tx), loss
+
+    return step
+
+
+def make_stage1_eval(model: SwinWNet, loss_fn) -> Callable:
+    @jax.jit
+    def eval_step(params, images, masks):
+        images = ensure_2ch(images)
+        masks = masks[:, None] if masks.ndim == 3 else masks
+        seg, _ = model.apply({"params": params}, images, method=SwinWNet.segment_1)
+        return loss_fn(seg, masks)
+
+    return eval_step
+
+
+def _sr_preprocess(model, params, hr):
+    """Frozen-segmentator preprocess (Upscaler_pretrain.py:188-208)."""
+    seg, skips = model.apply({"params": params}, hr, method=SwinWNet.segment_1)
+    seg = jax.nn.sigmoid(seg)
+    hr_masked = seg * hr
+    lr = bilinear_downscale_half(hr_masked)
+    norm_lr, _ = normalize_piecewise(lr)
+    norm_hr, _ = normalize_piecewise(hr_masked)
+    return jax.lax.stop_gradient((norm_lr, norm_hr, skips))
+
+
+def make_stage2_step(model: SwinWNet, tx, loss_fn) -> Callable:
+    """SR pretrain step (Upscaler_pretrain.py:171-235)."""
+
+    def loss_of(params, norm_lr, norm_hr, skips):
+        pred, _ = model.apply({"params": params}, norm_lr, skips, method=SwinWNet.upscale)
+        return loss_fn(pred, norm_hr)
+
+    @jax.jit
+    def step(state: TrainState, hr, _masks=None):
+        hr = ensure_2ch(hr)
+        norm_lr, norm_hr, skips = _sr_preprocess(model, state.params, hr)
+        loss, grads = jax.value_and_grad(loss_of)(state.params, norm_lr, norm_hr, skips)
+        return _apply_updates(state, grads, tx), loss
+
+    return step
+
+
+def make_stage2_eval(model: SwinWNet, loss_fn) -> Callable:
+    @jax.jit
+    def eval_step(params, hr, _masks=None):
+        hr = ensure_2ch(hr)
+        norm_lr, norm_hr, skips = _sr_preprocess(model, params, hr)
+        pred, _ = model.apply({"params": params}, norm_lr, skips, method=SwinWNet.upscale)
+        return loss_fn(pred, norm_hr)
+
+    return eval_step
+
+
+def make_stage3_steps(
+    model: SwinWNet,
+    tx,
+    seg_loss_fn,
+    sr_loss_fn,
+    seg_weight_lr: float = 1.0,
+    seg_weight_hr: float = 1.0,
+    rec_weight: float = 1.0,
+):
+    """Joint even/odd steps (FullModel_supervised_trainer.py:231-288).
+    Returns (even_step, odd_step); each returns (state, aux dict)."""
+
+    def even_loss(params, images, masks):
+        seg, skips_seg = model.apply({"params": params}, images, method=SwinWNet.segment_1)
+        loss_seg = seg_loss_fn(seg, masks)
+
+        seg_s = jax.nn.sigmoid(seg)
+        images_masked = images * seg_s
+        lr = bilinear_downscale_half(images_masked)
+        norm_lr, _ = normalize_piecewise(lr)
+        norm_hr, _ = normalize_piecewise(images_masked)
+
+        sr_out, _ = model.apply({"params": params}, norm_lr, skips_seg, method=SwinWNet.upscale)
+        rec = sr_loss_fn(sr_out, norm_hr)
+        total = loss_seg * seg_weight_lr + rec * rec_weight
+        return total, {"loss": total, "seg_lr": loss_seg, "rec": rec, "seg_hr": jnp.zeros(())}
+
+    def odd_loss(params, images, masks):
+        seg, skips_seg = model.apply({"params": params}, images, method=SwinWNet.segment_1)
+        loss_low = seg_loss_fn(seg, masks)
+
+        seg_s = jax.nn.sigmoid(seg)
+        images_masked = seg_s * images
+        norm_hr, params_hr = normalize_piecewise(images_masked)
+
+        sr_out, skips_sr = model.apply({"params": params}, norm_hr, skips_seg, method=SwinWNet.upscale)
+        denorm_pred = denormalize_piecewise(sr_out, params_hr)
+        seg_high, _ = model.apply(
+            {"params": params}, denorm_pred, skips_sr, method=SwinWNet.segment_2
+        )
+        masks_up = nearest_exact_resize(
+            masks.astype(jnp.float32), masks.shape[-2] * 2, masks.shape[-1] * 2
+        )
+        loss_high = seg_loss_fn(seg_high, masks_up)
+        total = loss_low * seg_weight_lr + loss_high * seg_weight_hr
+        return total, {"loss": total, "seg_lr": loss_low, "seg_hr": loss_high, "rec": jnp.zeros(())}
+
+    def make(loss_of):
+        @jax.jit
+        def step(state: TrainState, images, masks):
+            images = ensure_2ch(images)
+            masks = masks[:, None] if masks.ndim == 3 else masks
+            (_, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
+                state.params, images, masks
+            )
+            return _apply_updates(state, grads, tx), aux
+
+        return step
+
+    def make_eval(loss_of):
+        @jax.jit
+        def eval_step(params, images, masks):
+            images = ensure_2ch(images)
+            masks = masks[:, None] if masks.ndim == 3 else masks
+            _, aux = loss_of(params, images, masks)
+            return aux
+
+        return eval_step
+
+    return make(even_loss), make(odd_loss), make_eval(even_loss), make_eval(odd_loss)
+
+
+# ---------------------------------------------------------------------------
+# Epoch drivers (reference-shaped trainer classes)
+# ---------------------------------------------------------------------------
+
+
+class _BaseTrainer:
+    """Shared epoch loop plumbing. `loader` is any iterable of (images, masks)
+    numpy/jnp batch tuples with `len()`."""
+
+    def __init__(self, verbose=True):
+        self.verbose = verbose
+        self.history_train = []
+        self.history_val = []
+
+    def release_training_state(self):
+        """Analog of the reference teardown (Segmentator_pretrain.py:265-282):
+        drop optimizer state so stage handoff starts clean."""
+        self.state = TrainState(params=self.state.params, opt_state=None, step=self.state.step)
+        self.tx = None
+
+
+class SegmentatorTrainer(_BaseTrainer):
+    def __init__(
+        self,
+        model: SwinWNet,
+        params,
+        train_loader,
+        val_loader=None,
+        loss: str = "CombinedLoss",
+        num_epochs: int = 300,
+        warmup_epochs: int = 10,
+        lr: float = 2e-4,
+        weight_decay: float = 1e-4,
+        verbose: bool = True,
+    ):
+        super().__init__(verbose)
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.num_epochs = num_epochs
+        loss_fn = get_segmentation_loss(loss)
+        schedule = warmup_cosine_schedule(lr, warmup_epochs, num_epochs, max(len(train_loader), 1))
+        self.tx = masked_adamw(params, "stage1", schedule, weight_decay)
+        self.state = TrainState.create(params, self.tx)
+        self._step = make_stage1_step(model, self.tx, loss_fn)
+        self._eval = make_stage1_eval(model, loss_fn)
+
+    def train(self) -> Dict[str, list]:
+        for epoch in range(self.num_epochs):
+            total, n = 0.0, 0
+            for images, masks in self.train_loader:
+                self.state, loss = self._step(self.state, jnp.asarray(images), jnp.asarray(masks))
+                b = images.shape[0]
+                total += float(loss) * b
+                n += b
+            train_loss = total / max(n, 1)
+
+            val_loss = float("nan")
+            if self.val_loader is not None:
+                vtotal, vn = 0.0, 0
+                for images, masks in self.val_loader:
+                    loss = self._eval(self.state.params, jnp.asarray(images), jnp.asarray(masks))
+                    vtotal += float(loss) * images.shape[0]
+                    vn += images.shape[0]
+                val_loss = vtotal / max(vn, 1)
+
+            self.history_train.append(train_loss)
+            self.history_val.append(val_loss)
+            if self.verbose:
+                print(
+                    f"Epoch [{epoch+1}/{self.num_epochs}] "
+                    f"Train Loss: {train_loss:.6f} Val Loss: {val_loss:.6f}"
+                )
+        return {"train_loss": self.history_train, "val_loss": self.history_val}
+
+
+class UpscalerTrainer(_BaseTrainer):
+    def __init__(
+        self,
+        model: SwinWNet,
+        params,
+        train_loader,
+        val_loader=None,
+        loss: str = "SmoothL1Loss",
+        num_epochs: int = 50,
+        warmup_epochs: int = 10,
+        lr: float = 2e-4,
+        weight_decay: float = 1e-4,
+        verbose: bool = True,
+    ):
+        super().__init__(verbose)
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.num_epochs = num_epochs
+        loss_fn = get_upscaler_loss(loss)
+        schedule = warmup_cosine_schedule(lr, warmup_epochs, num_epochs, max(len(train_loader), 1))
+        self.tx = masked_adamw(params, "stage2", schedule, weight_decay)
+        self.state = TrainState.create(params, self.tx)
+        self._step = make_stage2_step(model, self.tx, loss_fn)
+        self._eval = make_stage2_eval(model, loss_fn)
+
+    def train(self) -> Dict[str, list]:
+        for epoch in range(self.num_epochs):
+            total = 0.0
+            for hr, masks in self.train_loader:
+                self.state, loss = self._step(self.state, jnp.asarray(hr))
+                total += float(loss)
+            train_loss = total / max(len(self.train_loader), 1)
+
+            val_loss = float("nan")
+            if self.val_loader is not None:
+                vtotal = 0.0
+                for hr, masks in self.val_loader:
+                    vtotal += float(self._eval(self.state.params, jnp.asarray(hr)))
+                val_loss = vtotal / max(len(self.val_loader), 1)
+
+            self.history_train.append(train_loss)
+            self.history_val.append(val_loss)
+            if self.verbose:
+                print(
+                    f"Epoch [{epoch+1}/{self.num_epochs}] "
+                    f"Train Loss: {train_loss:.6f} Val Loss: {val_loss:.6f}"
+                )
+        return {"train_loss": self.history_train, "val_loss": self.history_val}
+
+
+class FullModelTrainer(_BaseTrainer):
+    def __init__(
+        self,
+        model: SwinWNet,
+        params,
+        train_loader,
+        val_loader=None,
+        segmentator_loss: str = "CombinedLoss",
+        upscaler_loss: str = "SmoothL1Loss",
+        num_epochs: int = 100,
+        warmup_epochs: int = 10,
+        lr: float = 2e-4,
+        weight_decay: float = 1e-4,
+        seg_weight_lr: float = 1.0,
+        seg_weight_hr: float = 1.0,
+        rec_weight: float = 1.0,
+        verbose: bool = True,
+    ):
+        super().__init__(verbose)
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.num_epochs = num_epochs
+        seg_fn = get_segmentation_loss(segmentator_loss)
+        sr_fn = get_upscaler_loss(upscaler_loss)
+        schedule = warmup_cosine_schedule(lr, warmup_epochs, num_epochs, max(len(train_loader), 1))
+        self.tx = masked_adamw(params, "stage3", schedule, weight_decay)
+        self.state = TrainState.create(params, self.tx)
+        self._even, self._odd, self._even_eval, self._odd_eval = make_stage3_steps(
+            model, self.tx, seg_fn, sr_fn, seg_weight_lr, seg_weight_hr, rec_weight
+        )
+
+    def _run_epoch(self, loader, train: bool) -> Dict[str, float]:
+        tot = {"loss": 0.0, "seg_lr": 0.0, "seg_hr": 0.0, "rec": 0.0}
+        for batch_idx, (images, masks) in enumerate(loader):
+            images, masks = jnp.asarray(images), jnp.asarray(masks)
+            is_even = batch_idx % 2 == 0
+            if train:
+                fn = self._even if is_even else self._odd
+                self.state, aux = fn(self.state, images, masks)
+            else:
+                fn = self._even_eval if is_even else self._odd_eval
+                aux = fn(self.state.params, images, masks)
+            for k in tot:
+                tot[k] += float(aux[k])
+        n = max(len(loader), 1)
+        return {k: v / n for k, v in tot.items()}
+
+    def train(self) -> Dict[str, list]:
+        for epoch in range(self.num_epochs):
+            train_m = self._run_epoch(self.train_loader, train=True)
+            val_m = (
+                self._run_epoch(self.val_loader, train=False)
+                if self.val_loader is not None
+                else {k: float("nan") for k in ("loss", "seg_lr", "seg_hr", "rec")}
+            )
+            self.history_train.append(train_m)
+            self.history_val.append(val_m)
+            if self.verbose:
+                print(
+                    f"Epoch [{epoch+1}/{self.num_epochs}] "
+                    f"Train {train_m['loss']:.4f} (seg_lr {train_m['seg_lr']:.4f} "
+                    f"seg_hr {train_m['seg_hr']:.4f} rec {train_m['rec']:.4f}) "
+                    f"Val {val_m['loss']:.4f}"
+                )
+        return {"train": self.history_train, "val": self.history_val}

@@ -1,0 +1,110 @@
+"""Data loaders, noise protocol, checkpoint roundtrip, ops unit tests."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swinwnet_tpu.data import ArrayLoader, add_eval_noise
+from swinwnet_tpu.ops import (
+    bilinear_downscale_half,
+    bilinear_resize,
+    compute_mask,
+    denormalize_piecewise,
+    ensure_2ch,
+    nearest_exact_resize,
+    normalize_piecewise,
+    window_partition,
+    window_reverse,
+)
+
+
+class TestLoader:
+    def test_batching(self):
+        images = np.arange(10 * 4 * 6, dtype=np.float32).reshape(10, 4, 6)
+        masks = np.zeros((10, 4, 6), np.float32)
+        loader = ArrayLoader(images, masks, batch_size=4)
+        assert len(loader) == 3
+        batches = list(loader)
+        assert batches[0][0].shape == (4, 1, 4, 6)
+        assert batches[2][0].shape == (2, 1, 4, 6)
+        assert loader.n_samples == 10
+
+    def test_shuffle_reproducible(self):
+        images = np.arange(8, dtype=np.float32).reshape(8, 1, 1)
+        l1 = ArrayLoader(images, batch_size=8, shuffle=True, seed=3)
+        l2 = ArrayLoader(images, batch_size=8, shuffle=True, seed=3)
+        b1 = next(iter(l1))[0]
+        b2 = next(iter(l2))[0]
+        np.testing.assert_array_equal(b1, b2)
+
+    def test_noise(self):
+        x = np.zeros((2, 1, 8, 8), np.float32)
+        noised = add_eval_noise(x, mu=100, sigma=20, seed=0)
+        assert 80 < noised.mean() < 120
+
+
+class TestOps:
+    def test_window_roundtrip(self):
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 13, 17, 4)), jnp.float32)
+        w, (Hp, Wp) = window_partition(x, 5)
+        assert w.shape == (2 * 3 * 4, 25, 4)
+        back = window_reverse(w, 5, Hp, Wp)
+        np.testing.assert_allclose(np.asarray(back[:, :13, :17]), np.asarray(x), rtol=1e-6)
+
+    def test_compute_mask_shape(self):
+        m = compute_mask(10, 10, 5, 2)
+        assert m.shape == (4, 25, 25)
+        vals = np.unique(np.asarray(m))
+        assert set(vals.tolist()) <= {-100.0, 0.0}
+        # interior window (index 0) is unmasked
+        assert np.all(np.asarray(m[0]) == 0)
+
+    def test_normalize_roundtrip(self):
+        x = jnp.asarray(np.random.default_rng(0).uniform(0, 1e4, (2, 2, 16, 16)), jnp.float32)
+        norm, params = normalize_piecewise(x)
+        back = denormalize_piecewise(norm, params)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=1e-3, atol=1e-2)
+
+    def test_ensure_2ch(self):
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 1, 4, 4)), jnp.float32)
+        y = ensure_2ch(x)
+        assert y.shape == (2, 2, 4, 4)
+        np.testing.assert_allclose(np.asarray(y[:, 1]), np.sqrt(np.abs(np.asarray(x[:, 0]))), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ensure_2ch(y)), np.asarray(y))
+
+    def test_resizes_match_torch(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        x = np.random.default_rng(1).normal(size=(1, 1, 10, 14)).astype(np.float32)
+        tx = torch.from_numpy(x)
+
+        want = F.interpolate(tx, scale_factor=2, mode="bilinear", align_corners=False).numpy()
+        got = np.asarray(bilinear_resize(jnp.asarray(x), 20, 28))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+        want = F.interpolate(tx, scale_factor=0.5, mode="bilinear", align_corners=False).numpy()
+        got = np.asarray(bilinear_downscale_half(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+        want = F.interpolate(tx, scale_factor=2, mode="nearest-exact").numpy()
+        got = np.asarray(nearest_exact_resize(jnp.asarray(x), 20, 28))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self):
+        from swinwnet_tpu.utils import latest_checkpoint, load_checkpoint, save_checkpoint
+
+        tree = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 3))}}
+        with tempfile.TemporaryDirectory() as d:
+            save_checkpoint(d, tree, step=3)
+            save_checkpoint(d, jax.tree.map(lambda x: x * 2, tree), step=7)
+            path = latest_checkpoint(d)
+            assert path.endswith("step_00000007")
+            restored = load_checkpoint(path, tree)
+            np.testing.assert_allclose(np.asarray(restored["a"]), np.arange(4.0) * 2)

@@ -1,0 +1,167 @@
+"""Training subsystem behavior on a tiny model: freezing, step mechanics,
+schedules, the 3-stage orchestrator, and the compiled RL step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swinwnet_tpu.data import ArrayLoader
+from swinwnet_tpu.models import AlphaPolicy, SwinWNet
+from swinwnet_tpu.train.freeze import masked_adamw, stage_trainable_labels
+from swinwnet_tpu.train.losses import combined_loss, smooth_l1_loss
+from swinwnet_tpu.train.schedule import warmup_cosine_schedule
+from swinwnet_tpu.train.trainers import (
+    TrainState,
+    make_stage1_step,
+    make_stage2_step,
+    make_stage3_steps,
+)
+
+TINY = dict(
+    in_chans=1,
+    error_matrix=True,
+    embed_dim=12,
+    depths=(1, 1, 1, 1),
+    num_heads=(3, 6, 12, 24),
+    window_size=5,
+)
+H = W = 40
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = SwinWNet(**TINY)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, H, W)))["params"]
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 10, (2, 1, H, W)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(size=(2, H, W)) > 0.5, jnp.float32)
+    return model, params, images, masks
+
+
+def _tree_diff(a, b):
+    """Set of top-level modules whose params changed."""
+    changed = set()
+    for top in a:
+        leaves_a = jax.tree.leaves(a[top])
+        leaves_b = jax.tree.leaves(b[top])
+        if any(not np.allclose(x, y) for x, y in zip(leaves_a, leaves_b)):
+            changed.add(top)
+    return changed
+
+
+def test_labels():
+    tree = {
+        "patch_embed": {"k": 0},
+        "segmentator_encoder": {"k": 0},
+        "upscaler_head": {"k": 0},
+        "ca_seg_to_sr": {"k": 0},
+    }
+    labels = stage_trainable_labels(tree, "stage1")
+    assert labels["patch_embed"]["k"] == "train"
+    assert labels["segmentator_encoder"]["k"] == "train"
+    assert labels["upscaler_head"]["k"] == "freeze"
+    assert labels["ca_seg_to_sr"]["k"] == "freeze"
+    labels = stage_trainable_labels(tree, "rl")
+    assert labels["upscaler_head"]["k"] == "train"
+    assert labels["ca_seg_to_sr"]["k"] == "train"
+    assert labels["patch_embed"]["k"] == "freeze"
+
+
+def test_schedule():
+    sched = warmup_cosine_schedule(1.0, warmup_epochs=10, num_epochs=100, steps_per_epoch=5)
+    # epoch 0 -> 1/10 (torch LambdaLR lr_lambda(0))
+    np.testing.assert_allclose(float(sched(0)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(4)), 0.1, rtol=1e-6)  # same epoch
+    np.testing.assert_allclose(float(sched(5)), 0.2, rtol=1e-6)  # epoch 1
+    np.testing.assert_allclose(float(sched(10 * 5)), 1.0, rtol=1e-6)  # end of warmup
+    # final epoch ~ 0
+    assert float(sched(99 * 5)) < 0.01
+
+
+def test_stage1_freezes_upscaler(setup):
+    model, params, images, masks = setup
+    tx = masked_adamw(params, "stage1", 1e-3)
+    state = TrainState.create(params, tx)
+    step = make_stage1_step(model, tx, combined_loss)
+    new_state, loss = step(state, images, masks)
+    assert np.isfinite(float(loss))
+    changed = _tree_diff(params, new_state.params)
+    assert "patch_embed" in changed
+    assert any(t.startswith("segmentator_") for t in changed)
+    assert not any(t.startswith("upscaler_") for t in changed)
+    assert "ca_seg_to_sr" not in changed and "ca_sr_to_seg" not in changed
+
+
+def test_stage2_trains_only_upscaler(setup):
+    model, params, images, masks = setup
+    tx = masked_adamw(params, "stage2", 1e-3)
+    state = TrainState.create(params, tx)
+    step = make_stage2_step(model, tx, smooth_l1_loss)
+    new_state, loss = step(state, images)
+    assert np.isfinite(float(loss))
+    changed = _tree_diff(params, new_state.params)
+    assert changed and all(t.startswith("upscaler_") for t in changed)
+
+
+def test_stage3_even_odd(setup):
+    model, params, images, masks = setup
+    tx = masked_adamw(params, "stage3", 1e-3)
+    state = TrainState.create(params, tx)
+    even, odd, even_eval, odd_eval = make_stage3_steps(
+        model, tx, combined_loss, smooth_l1_loss
+    )
+    state, aux_e = even(state, images, masks)
+    assert np.isfinite(float(aux_e["loss"])) and float(aux_e["rec"]) > 0
+    assert float(aux_e["seg_hr"]) == 0
+    state, aux_o = odd(state, images, masks)
+    assert np.isfinite(float(aux_o["loss"])) and float(aux_o["seg_hr"]) > 0
+    assert float(aux_o["rec"]) == 0
+    aux = even_eval(state.params, images, masks)
+    assert np.isfinite(float(aux["loss"]))
+
+
+def test_stage1_loss_decreases(setup):
+    model, params, images, masks = setup
+    tx = masked_adamw(params, "stage1", 1e-3)
+    state = TrainState.create(params, tx)
+    step = make_stage1_step(model, tx, combined_loss)
+    state, first = step(state, images, masks)
+    for _ in range(8):
+        state, loss = step(state, images, masks)
+    assert float(loss) < float(first)
+
+
+def test_rl_step(setup):
+    import optax
+
+    from swinwnet_tpu.physics.qwrapper import Qwrapper
+    from swinwnet_tpu.train.rl import RLState, make_rl_train_step
+
+    model, params, images, masks = setup
+    policy = AlphaPolicy()
+    policy_params = policy.init(jax.random.PRNGKey(1), jnp.zeros((1, 2, H // 2, W // 2)))["params"]
+
+    centers = np.linspace(0.05, 7.49, 160)  # small grid keeps CPU compile sane
+    qw = Qwrapper(fixed_centers=centers)
+    model_tx = masked_adamw(params, "rl", 1e-4, weight_decay=0.0)
+    policy_tx = optax.adam(1e-4)
+    step = make_rl_train_step(model, policy, model_tx, policy_tx, qw)
+
+    state = RLState(
+        model=TrainState.create(params, model_tx),
+        policy=TrainState.create(policy_params, policy_tx),
+        rng=jax.random.PRNGKey(0),
+    )
+    new_state, metrics = step(state, images)
+    for k in ("reward", "rec", "integral", "peak", "shape", "policy_loss", "sup_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    # model update must leave the segmentator untouched
+    changed = _tree_diff(state.model.params, new_state.model.params)
+    assert not any(t.startswith("segmentator_") for t in changed)
+    assert any(t.startswith("upscaler_") for t in changed)
+    # policy actually updated
+    p_changed = _tree_diff(
+        {"p": state.policy.params}, {"p": new_state.policy.params}
+    )
+    assert p_changed
