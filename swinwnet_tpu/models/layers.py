@@ -206,12 +206,33 @@ def relative_position_index(window_size: int) -> np.ndarray:
     return rel.sum(-1)
 
 
+class _LinearParams(nn.Module):
+    """Declares Dense-compatible params ({kernel, bias}) and returns them raw,
+    so a caller can route them either through inline XLA math or into a fused
+    Pallas kernel while keeping the checkpoint tree identical."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, fan_in: int):
+        kernel = self.param("kernel", torch_kernel_init, (fan_in, self.features), jnp.float32)
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", lambda k, s, d: torch_bias_init(k, s, d, fan_in), (self.features,), jnp.float32
+            )
+        return kernel, bias
+
+
 class WindowAttention(nn.Module):
     """MSA within a window with learned relative-position bias
     (reference: SwinWNet.py:151-209).
 
     Input: [num_windows_total, N, C] window tokens; optional additive mask
-    [nW, N, N] for shifted windows.
+    [nW, N, N] for shifted windows. With `use_pallas=True` (and no mask /
+    dropout) the whole op runs as one fused VMEM-resident Pallas kernel
+    (ops/pallas/window_msa.py).
     """
 
     dim: int
@@ -220,6 +241,7 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -228,14 +250,10 @@ class WindowAttention(nn.Module):
         nH = self.num_heads
         hd = C // nH
         scale = hd**-0.5
+        prec = matmul_precision(self.dtype)
 
-        qkv = Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(Bw, N, 3, nH, hd).transpose(2, 0, 3, 1, 4)  # 3, Bw, nH, N, hd
-        q, k, v = qkv[0], qkv[1], qkv[2]
-
-        q = q * scale
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32, precision=matmul_precision(self.dtype))
-
+        qkv_k, qkv_b = _LinearParams(3 * C, self.qkv_bias, name="qkv")(C)
+        proj_k, proj_b = _LinearParams(C, True, name="proj")(C)
         bias_table = self.param(
             "relative_position_bias_table",
             nn.initializers.normal(stddev=0.02),
@@ -244,6 +262,36 @@ class WindowAttention(nn.Module):
         )
         rpi = jnp.asarray(relative_position_index(self.window_size))
         rel_bias = bias_table[rpi.reshape(-1)].reshape(N, N, nH).transpose(2, 0, 1)
+
+        can_fuse = (
+            self.use_pallas
+            and mask is None
+            and self.attn_drop == 0.0
+            and (self.proj_drop == 0.0 or deterministic)
+            and jax.default_backend() == "tpu"
+        )
+        if can_fuse:
+            from ..ops.pallas.window_msa import fused_window_attention
+
+            bqkv = qkv_b if qkv_b is not None else jnp.zeros((3 * C,), jnp.float32)
+            return fused_window_attention(
+                x.astype(self.dtype),
+                qkv_k.astype(self.dtype),
+                bqkv.astype(self.dtype),
+                rel_bias.astype(jnp.float32),
+                proj_k.astype(self.dtype),
+                proj_b.astype(self.dtype),
+                nH,
+            )
+
+        qkv = jnp.dot(x.astype(self.dtype), qkv_k.astype(self.dtype), precision=prec)
+        if qkv_b is not None:
+            qkv = qkv + qkv_b.astype(self.dtype)
+        qkv = qkv.reshape(Bw, N, 3, nH, hd).transpose(2, 0, 3, 1, 4)  # 3, Bw, nH, N, hd
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        q = q * scale
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32, precision=prec)
         attn = attn + rel_bias[None]
 
         if mask is not None:
@@ -254,9 +302,9 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
 
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32, precision=matmul_precision(self.dtype))
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32, precision=prec)
         out = out.transpose(0, 2, 1, 3).reshape(Bw, N, C).astype(self.dtype)
-        out = Dense(C, dtype=self.dtype, name="proj")(out)
+        out = jnp.dot(out, proj_k.astype(self.dtype), precision=prec) + proj_b.astype(self.dtype)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 
@@ -292,6 +340,7 @@ class SwinTransformerBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -315,6 +364,7 @@ class SwinTransformerBlock(nn.Module):
             qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
         )(x_windows, mask=attn_mask, deterministic=deterministic)
@@ -355,6 +405,7 @@ class BasicLayer(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -370,6 +421,7 @@ class BasicLayer(nn.Module):
                 drop=self.drop,
                 attn_drop=self.attn_drop,
                 drop_path=self.drop_path,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, deterministic=deterministic)
@@ -441,6 +493,7 @@ class SwinEncoder(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -459,6 +512,7 @@ class SwinEncoder(nn.Module):
                 drop=self.drop,
                 attn_drop=self.attn_drop,
                 drop_path=self.drop_path,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, deterministic=deterministic)
@@ -475,6 +529,7 @@ class SwinEncoder(nn.Module):
             drop=self.drop,
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name=f"layers_{n-1}",
         )(x, deterministic=deterministic)
@@ -493,6 +548,7 @@ class Bottleneck(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -507,6 +563,7 @@ class Bottleneck(nn.Module):
             drop=self.drop,
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="layer",
         )(x, deterministic=deterministic)
@@ -526,6 +583,7 @@ class SwinDecoder(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -557,6 +615,7 @@ class SwinDecoder(nn.Module):
                 drop=self.drop,
                 attn_drop=self.attn_drop,
                 drop_path=self.drop_path,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"swin_blocks_{i}",
             )(x, deterministic=deterministic)
@@ -606,6 +665,7 @@ class UpscalingHead(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -623,6 +683,7 @@ class UpscalingHead(nn.Module):
                 drop=self.drop,
                 attn_drop=self.attn_drop,
                 drop_path=self.drop_path,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"swin_blocks_{i}",
             )(x, deterministic=deterministic)

@@ -40,6 +40,7 @@ class SwinUNet(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -53,6 +54,7 @@ class SwinUNet(nn.Module):
             drop=self.drop,
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
         self.patch_embed = ScaleAwarePatchEmbed(
@@ -66,6 +68,7 @@ class SwinUNet(nn.Module):
             dim=self.embed_dim * 8,
             num_heads=self.num_heads[-1],
             window_size=self.window_size,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
         self.decoder = SwinDecoder(**kw)
@@ -97,6 +100,7 @@ class SwinUNetSR(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -110,6 +114,7 @@ class SwinUNetSR(nn.Module):
             drop=self.drop,
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
         self.patch_embed = ScaleAwarePatchEmbed(
@@ -123,6 +128,7 @@ class SwinUNetSR(nn.Module):
             dim=self.embed_dim * 8,
             num_heads=self.num_heads[-1],
             window_size=self.window_size,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
         self.decoder = SwinDecoder(**kw)
@@ -137,6 +143,7 @@ class SwinUNetSR(nn.Module):
             drop=self.drop,
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
 

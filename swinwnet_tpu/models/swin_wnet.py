@@ -46,6 +46,7 @@ class SwinWNet(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -59,6 +60,7 @@ class SwinWNet(nn.Module):
             drop=self.drop,
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
         in_ch = self.in_chans + 1 if self.error_matrix else self.in_chans
@@ -71,6 +73,7 @@ class SwinWNet(nn.Module):
             dim=self.embed_dim * 8,
             num_heads=self.num_heads[-1],
             window_size=self.window_size,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
         self.segmentator_decoder = SwinDecoder(**kw)
@@ -90,6 +93,7 @@ class SwinWNet(nn.Module):
             dim=self.embed_dim * 8,
             num_heads=self.num_heads[-1],
             window_size=self.window_size,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
         self.upscaler_decoder = SwinDecoder(**kw)
@@ -105,6 +109,7 @@ class SwinWNet(nn.Module):
             drop=self.drop,
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
 
