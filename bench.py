@@ -4,6 +4,11 @@ Runs the flagship multimodal pipeline (BASELINE config #4: [B,2,250,480]
 diffraction + error matrix -> masked 2x-SR pattern) end-to-end on the
 attached TPU chip and prints ONE JSON line.
 
+Timing methodology: iterations are serialized through a data dependency
+(each step's input mixes in the previous output) and the loop ends with a
+host fetch — `block_until_ready` alone under-reports on tunneled/experimental
+PJRT backends.
+
 The reference publishes no wall-clock numbers (SURVEY.md §6), so the baseline
 is this framework's first recorded measurement (BASELINE_IPS below);
 vs_baseline tracks speedups across rounds.
@@ -14,13 +19,12 @@ import time
 
 import numpy as np
 
-# images/sec/chip of the first recorded round-1 fp32 run on a v5e chip.
-# Update only the comment when improving; keep the constant as the anchor.
-BASELINE_IPS = 75.0
+# images/sec/chip of the first recorded round-1 fp32 run on a v5e chip
+# (the anchor for vs_baseline across rounds — do not edit retroactively).
+BASELINE_IPS = 100.0
 
 BATCH = 8
-WARMUP = 3
-ITERS = 20
+ITERS = 10
 
 
 def main():
@@ -28,7 +32,7 @@ def main():
     import jax.numpy as jnp
 
     from swinwnet_tpu.models import SwinWNet
-    from swinwnet_tpu.pipelines.inference import make_inference_fn
+    from swinwnet_tpu.pipelines.inference import inference_stages
 
     model = SwinWNet(
         in_chans=1,
@@ -38,23 +42,27 @@ def main():
         num_heads=(3, 6, 12, 24),
         window_size=5,
     )
-    rng = jax.random.PRNGKey(0)
     x = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1e3, (BATCH, 2, 250, 480)), jnp.float32
     )
-    variables = model.init(rng, x[:1])
-    fn = make_inference_fn(model)
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+
+    @jax.jit
+    def step(variables, x):
+        out = inference_stages(model, variables, x)["images_masked_hr"]
+        # serialize successive iterations through a data dependency
+        return x + 1e-12 * out[:, :, :250, :480].sum()
 
     # compile + warmup
-    out = fn(variables, x)
-    jax.block_until_ready(out)
-    for _ in range(WARMUP):
-        jax.block_until_ready(fn(variables, x))
+    y = step(variables, x)
+    _ = float(y.sum())
+    y = step(variables, x)
+    _ = float(y.sum())
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = fn(variables, x)
-    jax.block_until_ready(out)
+        y = step(variables, y)
+    _ = float(y.sum())  # host fetch forces completion of the whole chain
     dt = time.perf_counter() - t0
 
     ips = BATCH * ITERS / dt
