@@ -3,6 +3,7 @@ from .peaks import find_peaks_for_batch, extract_peak_region
 from .emd import emd_1d, emd_shape_loss, normalize_profile, resample_profile
 from .matching import compare_peak_sets, peak_matching_loss
 from .metrics import DiffractionMetricsCalculator
+from .legacy import DiffractionPipeline, scalar_peak_matching_loss, naive_rebin
 
 __all__ = [
     "Qwrapper",
@@ -19,4 +20,7 @@ __all__ = [
     "compare_peak_sets",
     "peak_matching_loss",
     "DiffractionMetricsCalculator",
+    "DiffractionPipeline",
+    "scalar_peak_matching_loss",
+    "naive_rebin",
 ]
