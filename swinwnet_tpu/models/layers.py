@@ -393,7 +393,12 @@ class SwinTransformerBlock(nn.Module):
 
 class BasicLayer(nn.Module):
     """Stack of `depth` Swin blocks; shift_size=0 for every block, matching
-    the shipped checkpoints (reference: SwinWNet.py:318-340, ':328 always 0')."""
+    the shipped checkpoints (reference: SwinWNet.py:318-340, ':328 always 0').
+
+    `remat=True` rematerializes each block under reverse-mode AD
+    (jax.checkpoint) — activations are recomputed in the backward pass,
+    trading ~1/3 more FLOPs for O(depth) less live memory, which is the
+    standard TPU HBM trade for training."""
 
     dim: int
     depth: int
@@ -406,12 +411,18 @@ class BasicLayer(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     use_pallas: bool = False
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        block_cls = (
+            nn.remat(SwinTransformerBlock, static_argnums=(2,))
+            if self.remat
+            else SwinTransformerBlock
+        )
         for i in range(self.depth):
-            x = SwinTransformerBlock(
+            x = block_cls(
                 dim=self.dim,
                 num_heads=self.num_heads,
                 window_size=self.window_size,
@@ -424,7 +435,7 @@ class BasicLayer(nn.Module):
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
         return x
 
 
@@ -493,6 +504,7 @@ class SwinEncoder(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    remat: bool = False
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -513,6 +525,7 @@ class SwinEncoder(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path=self.drop_path,
                 use_pallas=self.use_pallas,
+                remat=self.remat,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, deterministic=deterministic)
@@ -530,6 +543,7 @@ class SwinEncoder(nn.Module):
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
             use_pallas=self.use_pallas,
+            remat=self.remat,
             dtype=self.dtype,
             name=f"layers_{n-1}",
         )(x, deterministic=deterministic)
@@ -548,6 +562,7 @@ class Bottleneck(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    remat: bool = False
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -564,6 +579,7 @@ class Bottleneck(nn.Module):
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
             use_pallas=self.use_pallas,
+            remat=self.remat,
             dtype=self.dtype,
             name="layer",
         )(x, deterministic=deterministic)
@@ -583,6 +599,7 @@ class SwinDecoder(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    remat: bool = False
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -616,6 +633,7 @@ class SwinDecoder(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path=self.drop_path,
                 use_pallas=self.use_pallas,
+                remat=self.remat,
                 dtype=self.dtype,
                 name=f"swin_blocks_{i}",
             )(x, deterministic=deterministic)
@@ -665,6 +683,7 @@ class UpscalingHead(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    remat: bool = False
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -684,6 +703,7 @@ class UpscalingHead(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path=self.drop_path,
                 use_pallas=self.use_pallas,
+                remat=self.remat,
                 dtype=self.dtype,
                 name=f"swin_blocks_{i}",
             )(x, deterministic=deterministic)

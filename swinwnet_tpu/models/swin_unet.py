@@ -41,6 +41,7 @@ class SwinUNet(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     use_pallas: bool = False
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -55,6 +56,7 @@ class SwinUNet(nn.Module):
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
             use_pallas=self.use_pallas,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.patch_embed = ScaleAwarePatchEmbed(
@@ -69,6 +71,7 @@ class SwinUNet(nn.Module):
             num_heads=self.num_heads[-1],
             window_size=self.window_size,
             use_pallas=self.use_pallas,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.decoder = SwinDecoder(**kw)
@@ -101,6 +104,7 @@ class SwinUNetSR(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     use_pallas: bool = False
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -115,6 +119,7 @@ class SwinUNetSR(nn.Module):
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
             use_pallas=self.use_pallas,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.patch_embed = ScaleAwarePatchEmbed(
@@ -129,6 +134,7 @@ class SwinUNetSR(nn.Module):
             num_heads=self.num_heads[-1],
             window_size=self.window_size,
             use_pallas=self.use_pallas,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.decoder = SwinDecoder(**kw)
@@ -144,6 +150,7 @@ class SwinUNetSR(nn.Module):
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
             use_pallas=self.use_pallas,
+            remat=self.remat,
             dtype=self.dtype,
         )
 

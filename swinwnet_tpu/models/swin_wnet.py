@@ -47,6 +47,7 @@ class SwinWNet(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     use_pallas: bool = False
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -61,6 +62,7 @@ class SwinWNet(nn.Module):
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
             use_pallas=self.use_pallas,
+            remat=self.remat,
             dtype=self.dtype,
         )
         in_ch = self.in_chans + 1 if self.error_matrix else self.in_chans
@@ -74,6 +76,7 @@ class SwinWNet(nn.Module):
             num_heads=self.num_heads[-1],
             window_size=self.window_size,
             use_pallas=self.use_pallas,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.segmentator_decoder = SwinDecoder(**kw)
@@ -94,6 +97,7 @@ class SwinWNet(nn.Module):
             num_heads=self.num_heads[-1],
             window_size=self.window_size,
             use_pallas=self.use_pallas,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.upscaler_decoder = SwinDecoder(**kw)
@@ -110,6 +114,7 @@ class SwinWNet(nn.Module):
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
             use_pallas=self.use_pallas,
+            remat=self.remat,
             dtype=self.dtype,
         )
 

@@ -209,10 +209,14 @@ def make_stage3_steps(
 
 class _BaseTrainer:
     """Shared epoch loop plumbing. `loader` is any iterable of (images, masks)
-    numpy/jnp batch tuples with `len()`."""
+    numpy/jnp batch tuples with `len()`. `log_path` streams per-epoch JSONL
+    metrics (utils.logging.MetricsLogger)."""
 
-    def __init__(self, verbose=True):
+    def __init__(self, verbose=True, log_path=None):
+        from ..utils.logging import MetricsLogger
+
         self.verbose = verbose
+        self.logger = MetricsLogger(log_path)
         self.history_train = []
         self.history_val = []
 
@@ -236,8 +240,9 @@ class SegmentatorTrainer(_BaseTrainer):
         lr: float = 2e-4,
         weight_decay: float = 1e-4,
         verbose: bool = True,
+        log_path=None,
     ):
-        super().__init__(verbose)
+        super().__init__(verbose, log_path)
         self.model = model
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -270,6 +275,7 @@ class SegmentatorTrainer(_BaseTrainer):
 
             self.history_train.append(train_loss)
             self.history_val.append(val_loss)
+            self.logger.log(epoch, train_loss=train_loss, val_loss=val_loss)
             if self.verbose:
                 print(
                     f"Epoch [{epoch+1}/{self.num_epochs}] "
@@ -291,8 +297,9 @@ class UpscalerTrainer(_BaseTrainer):
         lr: float = 2e-4,
         weight_decay: float = 1e-4,
         verbose: bool = True,
+        log_path=None,
     ):
-        super().__init__(verbose)
+        super().__init__(verbose, log_path)
         self.model = model
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -321,6 +328,7 @@ class UpscalerTrainer(_BaseTrainer):
 
             self.history_train.append(train_loss)
             self.history_val.append(val_loss)
+            self.logger.log(epoch, train_loss=train_loss, val_loss=val_loss)
             if self.verbose:
                 print(
                     f"Epoch [{epoch+1}/{self.num_epochs}] "
@@ -346,8 +354,9 @@ class FullModelTrainer(_BaseTrainer):
         seg_weight_hr: float = 1.0,
         rec_weight: float = 1.0,
         verbose: bool = True,
+        log_path=None,
     ):
-        super().__init__(verbose)
+        super().__init__(verbose, log_path)
         self.model = model
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -387,6 +396,7 @@ class FullModelTrainer(_BaseTrainer):
             )
             self.history_train.append(train_m)
             self.history_val.append(val_m)
+            self.logger.log(epoch, **{f"train_{k}": v for k, v in train_m.items()})
             if self.verbose:
                 print(
                     f"Epoch [{epoch+1}/{self.num_epochs}] "
