@@ -6,7 +6,9 @@ from .image_metrics import (
     psnr,
     ssim,
 )
-from .harness import MetricsCalculator, write_results_json
+from .harness import MetricsCalculator, write_results_json, calculate_statistics
+from .regression import load_baseline_arrays, compare_with_baseline, PUBLISHED
+from .plots import plot_metric_distributions
 
 __all__ = [
     "binarize_prediction",
@@ -17,4 +19,9 @@ __all__ = [
     "ssim",
     "MetricsCalculator",
     "write_results_json",
+    "calculate_statistics",
+    "load_baseline_arrays",
+    "compare_with_baseline",
+    "PUBLISHED",
+    "plot_metric_distributions",
 ]

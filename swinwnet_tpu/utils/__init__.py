@@ -1,5 +1,7 @@
 from .checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint
 from .profiling import trace_context, StageTimer
+from .logging import MetricsLogger
+from .debug import nan_check, assert_finite_pytree
 
 __all__ = [
     "save_checkpoint",
@@ -7,4 +9,7 @@ __all__ = [
     "latest_checkpoint",
     "trace_context",
     "StageTimer",
+    "MetricsLogger",
+    "nan_check",
+    "assert_finite_pytree",
 ]
