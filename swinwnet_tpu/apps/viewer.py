@@ -19,11 +19,11 @@ from __future__ import annotations
 import argparse
 import csv
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
-from ..compat.torch_import import load_pth, sniff_error_matrix, unwrap_state_dict, convert_state_dict
+from ..compat.torch_import import convert_state_dict, sniff_error_matrix, unwrap_state_dict
 from ..core.config import GEOMETRY
 from ..data.loaders import load_crystal_npy
 from ..models.swin_wnet import SwinWNet

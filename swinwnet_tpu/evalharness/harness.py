@@ -15,7 +15,7 @@ Differences from the reference (all TPU-motivated):
 from __future__ import annotations
 
 import json
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ import math
 
 import numpy as np
 
-from .emd import emd_shape_loss, X_REF
+from .emd import emd_shape_loss
 
 
 def compare_peak_sets(pred_peaks, true_peaks, tol=0.05):

@@ -14,7 +14,7 @@ A thin class wrapper restores the reference's attribute API
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ paper-cuts are fixed (and documented): stage 2 now receives `sr_epochs`
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 from ..models.swin_wnet import SwinWNet
 from .trainers import FullModelTrainer, SegmentatorTrainer, UpscalerTrainer

@@ -24,8 +24,7 @@ REINFORCE, which is the evident intent.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

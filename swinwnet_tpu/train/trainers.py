@@ -25,8 +25,7 @@ mesh (see parallel/sharding.py and __graft_entry__.dryrun_multichip).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +35,7 @@ from ..models.swin_wnet import SwinWNet
 from ..ops.norms import ensure_2ch, normalize_piecewise, denormalize_piecewise
 from ..ops.resize import bilinear_downscale_half, nearest_exact_resize
 from .freeze import masked_adamw
-from .losses import get_segmentation_loss, get_upscaler_loss, l1_loss
+from .losses import get_segmentation_loss, get_upscaler_loss
 from .schedule import warmup_cosine_schedule
 
 
