@@ -263,11 +263,17 @@ class WindowAttention(nn.Module):
         rpi = jnp.asarray(relative_position_index(self.window_size))
         rel_bias = bias_table[rpi.reshape(-1)].reshape(N, N, nH).transpose(2, 0, 1)
 
+        # Fuse only window-heavy call sites (the finest pyramid levels), where
+        # XLA would otherwise materialize a [Wt, nH, 25, 25] attention tensor
+        # in HBM (30 GB at B=32 level-0). Deeper levels have few windows, the
+        # XLA path is fine there, and keeping the Mosaic surface small keeps
+        # whole-program kernel compilation cheap.
         can_fuse = (
             self.use_pallas
             and mask is None
             and self.attn_drop == 0.0
             and (self.proj_drop == 0.0 or deterministic)
+            and Bw >= 512
             and jax.default_backend() == "tpu"
         )
         if can_fuse:

@@ -89,8 +89,12 @@ class Qwrapper:
         self.n_bins = len(self.centers)
         self._index_cache = {}
 
-    def _indices_for(self, H: int, W: int) -> jnp.ndarray:
-        """Per-pixel target bin (static), masked pixels -> dump bin n_bins."""
+    def _indices_for(self, H: int, W: int) -> np.ndarray:
+        """Per-pixel target bin (static), masked pixels -> dump bin n_bins.
+
+        Cached as NUMPY (never as a jax array): `rebin` may be traced inside
+        jit, and caching a trace-time constant would leak a tracer into later
+        traces."""
         key = (H, W)
         if key not in self._index_cache:
             d_grid = make_d_grid(H, W, self.theta_range, self.L_range)
@@ -101,7 +105,7 @@ class Qwrapper:
             idx = np.clip(idx, 0, self.n_bins - 1)
             masked = d_grid.ravel() > self.d_max
             idx = np.where(masked, self.n_bins, idx)  # dump bin
-            self._index_cache[key] = jnp.asarray(idx.astype(np.int32))
+            self._index_cache[key] = idx.astype(np.int32)
         return self._index_cache[key]
 
     def rebin(self, batch) -> jnp.ndarray:

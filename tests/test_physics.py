@@ -136,3 +136,25 @@ class TestMatching:
         assert set(out) == {"Integral Intensity", "Peak Intensity", "Shape"}
         assert len(out["Shape"]) == 2
         assert np.allclose(out["Integral Intensity"], 0)
+
+
+def test_rebin_inside_jit_no_tracer_leak():
+    """Qwrapper index caches must never hold trace-time constants
+    (regression: UnexpectedTracerError when rebin is first called under jit)."""
+    import jax
+    import jax.numpy as jnp
+
+    qw = Qwrapper(fixed_centers=np.linspace(0.05, 7.49, 64))
+    x = jnp.ones((2, 1, 25, 48))
+
+    @jax.jit
+    def f(x):
+        return qw.rebin(x).sum()
+
+    @jax.jit
+    def g(x):
+        return qw.rebin(x).sum() * 2
+
+    a = float(f(x))
+    b = float(g(x))
+    np.testing.assert_allclose(b, 2 * a, rtol=1e-6)
