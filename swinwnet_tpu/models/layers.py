@@ -273,7 +273,7 @@ class WindowAttention(nn.Module):
             and mask is None
             and self.attn_drop == 0.0
             and (self.proj_drop == 0.0 or deterministic)
-            and Bw >= 512
+            and Bw >= 2000
             and jax.default_backend() == "tpu"
         )
         if can_fuse:

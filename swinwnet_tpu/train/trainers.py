@@ -225,6 +225,25 @@ class _BaseTrainer:
         self.state = TrainState(params=self.state.params, opt_state=None, step=self.state.step)
         self.tx = None
 
+    # ---- fault tolerance (no reference counterpart; SURVEY.md §5) ----
+
+    def save(self, directory: str) -> str:
+        """Checkpoint the FULL train state (params + optimizer + step) so a
+        crashed run resumes exactly (the reference only saves bare params)."""
+        from ..utils.checkpoint import save_checkpoint
+
+        return save_checkpoint(directory, self.state, step=int(self.state.step))
+
+    def resume(self, directory: str) -> bool:
+        """Restore the latest checkpoint in `directory` (False if none)."""
+        from ..utils.checkpoint import latest_checkpoint, load_checkpoint
+
+        path = latest_checkpoint(directory)
+        if path is None:
+            return False
+        self.state = load_checkpoint(path, self.state)
+        return True
+
 
 class SegmentatorTrainer(_BaseTrainer):
     def __init__(

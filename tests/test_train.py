@@ -170,3 +170,22 @@ def test_rl_step(setup):
         assert p_changed
     # policy optimizer state advanced regardless
     assert int(new_state.policy.step) == 1
+
+
+def test_trainer_save_resume(setup, tmp_path):
+    from swinwnet_tpu.train.trainers import SegmentatorTrainer
+
+    model, params, images, masks = setup
+    loader = [(np.asarray(images), np.asarray(masks))]
+    t = SegmentatorTrainer(model, params, loader, num_epochs=1, warmup_epochs=1, verbose=False)
+    t.state, _ = t._step(t.state, images, masks)
+    path = t.save(str(tmp_path))
+    assert "step_" in path
+
+    t2 = SegmentatorTrainer(model, params, loader, num_epochs=1, warmup_epochs=1, verbose=False)
+    assert t2.resume(str(tmp_path))
+    assert int(t2.state.step) == int(t.state.step)
+    a = jax.tree.leaves(t.state.params)[0]
+    b = jax.tree.leaves(t2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert not t2.resume(str(tmp_path / "empty"))
