@@ -274,6 +274,7 @@ class WindowAttention(nn.Module):
             and self.attn_drop == 0.0
             and (self.proj_drop == 0.0 or deterministic)
             and Bw >= 2000
+            and hd <= 16  # Mosaic miscompiles the hd=32 lane-slice variant
             and jax.default_backend() == "tpu"
         )
         if can_fuse:

@@ -1,3 +1,4 @@
+from .multihost import initialize_multihost
 from .sharding import (
     make_mesh,
     replicate,
@@ -6,4 +7,5 @@ from .sharding import (
     pad_to_multiple,
 )
 
-__all__ = ["make_mesh", "replicate", "shard_batch", "data_sharding", "pad_to_multiple"]
+__all__ = [
+    "initialize_multihost","make_mesh", "replicate", "shard_batch", "data_sharding", "pad_to_multiple"]

@@ -1,5 +1,6 @@
 from .inference import SwinWNetInference, inference_stages, STAGE_NAMES
 from .rl_inference import RLInference, rl_inference_stages
+from .simple import make_segmentation_fn, make_sr_fn
 
 __all__ = [
     "SwinWNetInference",
@@ -7,4 +8,6 @@ __all__ = [
     "STAGE_NAMES",
     "RLInference",
     "rl_inference_stages",
+    "make_segmentation_fn",
+    "make_sr_fn",
 ]
