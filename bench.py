@@ -4,6 +4,10 @@ Runs the flagship multimodal pipeline (BASELINE config #4: [B,2,250,480]
 diffraction + error matrix -> masked 2x-SR pattern) end-to-end on the
 attached TPU chip and prints ONE JSON line.
 
+Serving mode: bfloat16 compute (the production configuration; binarized
+masks agree with fp32 on >99% of pixels — tests/test_modes.py). Set
+SWINWNET_BENCH_DTYPE=float32 for the parity-precision configuration.
+
 Timing methodology: iterations are serialized through a data dependency
 (each step's input mixes in the previous output) and the loop ends with a
 host fetch — `block_until_ready` alone under-reports on tunneled/experimental
@@ -15,6 +19,7 @@ vs_baseline tracks speedups across rounds.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -34,6 +39,7 @@ def main():
     from swinwnet_tpu.models import SwinWNet
     from swinwnet_tpu.pipelines.inference import inference_stages
 
+    dtype = jnp.float32 if os.environ.get("SWINWNET_BENCH_DTYPE") == "float32" else jnp.bfloat16
     model = SwinWNet(
         in_chans=1,
         error_matrix=True,
@@ -41,6 +47,7 @@ def main():
         depths=(2, 2, 2, 2),
         num_heads=(3, 6, 12, 24),
         window_size=5,
+        dtype=dtype,
     )
     x = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1e3, (BATCH, 2, 250, 480)), jnp.float32
@@ -51,7 +58,7 @@ def main():
     def step(variables, x):
         out = inference_stages(model, variables, x)["images_masked_hr"]
         # serialize successive iterations through a data dependency
-        return x + 1e-12 * out[:, :, :250, :480].sum()
+        return x + 1e-12 * out[:, :, :250, :480].sum().astype(jnp.float32)
 
     # compile + warmup
     y = step(variables, x)
