@@ -242,6 +242,11 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     use_pallas: bool = False
+    # >0: process windows in lax.map chunks of this size, bounding the live
+    # attention tensor to [chunk, nH, N, N] — pure-XLA alternative to the
+    # Pallas kernel for large batches (the finest SR-head level otherwise
+    # materializes 30 GB at B=32). 0 = off.
+    attn_chunk: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -291,26 +296,57 @@ class WindowAttention(nn.Module):
                 nH,
             )
 
-        qkv = jnp.dot(x.astype(self.dtype), qkv_k.astype(self.dtype), precision=prec)
-        if qkv_b is not None:
-            qkv = qkv + qkv_b.astype(self.dtype)
-        qkv = qkv.reshape(Bw, N, 3, nH, hd).transpose(2, 0, 3, 1, 4)  # 3, Bw, nH, N, hd
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        def attend(xw):
+            """[k, N, C] window chunk -> pre-projection attention output."""
+            k_ = xw.shape[0]
+            qkv = jnp.dot(xw.astype(self.dtype), qkv_k.astype(self.dtype), precision=prec)
+            if qkv_b is not None:
+                qkv = qkv + qkv_b.astype(self.dtype)
+            qkv = qkv.reshape(k_, N, 3, nH, hd).transpose(2, 0, 3, 1, 4)
+            q, kk, v = qkv[0] * scale, qkv[1], qkv[2]
+            attn = jnp.einsum(
+                "bhnd,bhmd->bhnm", q, kk, preferred_element_type=jnp.float32, precision=prec
+            )
+            attn = attn + rel_bias[None]
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum(
+                "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32, precision=prec
+            )
+            return out.transpose(0, 2, 1, 3).reshape(k_, N, C).astype(self.dtype)
 
-        q = q * scale
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32, precision=prec)
-        attn = attn + rel_bias[None]
+        chunkable = (
+            self.attn_chunk > 0
+            and mask is None
+            and self.attn_drop == 0.0
+            and Bw > self.attn_chunk
+        )
+        if chunkable:
+            K = self.attn_chunk
+            pad = (-Bw) % K
+            xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
+            out = jax.lax.map(attend, xp.reshape(-1, K, N, C)).reshape(-1, N, C)
+            if pad:
+                out = out[:Bw]
+        elif mask is None and self.attn_drop == 0.0:
+            out = attend(x)
+        else:
+            qkv = jnp.dot(x.astype(self.dtype), qkv_k.astype(self.dtype), precision=prec)
+            if qkv_b is not None:
+                qkv = qkv + qkv_b.astype(self.dtype)
+            qkv = qkv.reshape(Bw, N, 3, nH, hd).transpose(2, 0, 3, 1, 4)  # 3, Bw, nH, N, hd
+            q, k, v = qkv[0] * scale, qkv[1], qkv[2]
 
-        if mask is not None:
-            nW = mask.shape[0]
-            attn = attn.reshape(Bw // nW, nW, nH, N, N) + mask[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(Bw, nH, N, N)
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32, precision=prec)
+            attn = attn + rel_bias[None]
+            if mask is not None:
+                nW = mask.shape[0]
+                attn = attn.reshape(Bw // nW, nW, nH, N, N) + mask[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(Bw, nH, N, N)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32, precision=prec)
+            out = out.transpose(0, 2, 1, 3).reshape(Bw, N, C).astype(self.dtype)
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32, precision=prec)
-        out = out.transpose(0, 2, 1, 3).reshape(Bw, N, C).astype(self.dtype)
         out = jnp.dot(out, proj_k.astype(self.dtype), precision=prec) + proj_b.astype(self.dtype)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
@@ -348,6 +384,7 @@ class SwinTransformerBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     use_pallas: bool = False
+    attn_chunk: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -372,6 +409,7 @@ class SwinTransformerBlock(nn.Module):
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
             use_pallas=self.use_pallas,
+            attn_chunk=self.attn_chunk,
             dtype=self.dtype,
             name="attn",
         )(x_windows, mask=attn_mask, deterministic=deterministic)
@@ -418,6 +456,7 @@ class BasicLayer(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     use_pallas: bool = False
+    attn_chunk: int = 0
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -440,6 +479,7 @@ class BasicLayer(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path=self.drop_path,
                 use_pallas=self.use_pallas,
+                attn_chunk=self.attn_chunk,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, deterministic)
@@ -513,6 +553,7 @@ class SwinEncoder(nn.Module):
     drop_path: float = 0.0
     remat: bool = False
     use_pallas: bool = False
+    attn_chunk: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -532,6 +573,7 @@ class SwinEncoder(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path=self.drop_path,
                 use_pallas=self.use_pallas,
+                attn_chunk=self.attn_chunk,
                 remat=self.remat,
                 dtype=self.dtype,
                 name=f"layers_{i}",
@@ -550,6 +592,7 @@ class SwinEncoder(nn.Module):
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
             use_pallas=self.use_pallas,
+            attn_chunk=self.attn_chunk,
             remat=self.remat,
             dtype=self.dtype,
             name=f"layers_{n-1}",
@@ -571,6 +614,7 @@ class Bottleneck(nn.Module):
     drop_path: float = 0.0
     remat: bool = False
     use_pallas: bool = False
+    attn_chunk: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -586,6 +630,7 @@ class Bottleneck(nn.Module):
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
             use_pallas=self.use_pallas,
+            attn_chunk=self.attn_chunk,
             remat=self.remat,
             dtype=self.dtype,
             name="layer",
@@ -608,6 +653,7 @@ class SwinDecoder(nn.Module):
     drop_path: float = 0.0
     remat: bool = False
     use_pallas: bool = False
+    attn_chunk: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -640,6 +686,7 @@ class SwinDecoder(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path=self.drop_path,
                 use_pallas=self.use_pallas,
+                attn_chunk=self.attn_chunk,
                 remat=self.remat,
                 dtype=self.dtype,
                 name=f"swin_blocks_{i}",
@@ -692,6 +739,7 @@ class UpscalingHead(nn.Module):
     drop_path: float = 0.0
     remat: bool = False
     use_pallas: bool = False
+    attn_chunk: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -710,6 +758,7 @@ class UpscalingHead(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path=self.drop_path,
                 use_pallas=self.use_pallas,
+                attn_chunk=self.attn_chunk,
                 remat=self.remat,
                 dtype=self.dtype,
                 name=f"swin_blocks_{i}",

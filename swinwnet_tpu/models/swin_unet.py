@@ -41,6 +41,7 @@ class SwinUNet(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     use_pallas: bool = False
+    attn_chunk: int = 0
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -56,6 +57,7 @@ class SwinUNet(nn.Module):
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
             use_pallas=self.use_pallas,
+            attn_chunk=self.attn_chunk,
             remat=self.remat,
             dtype=self.dtype,
         )
@@ -71,6 +73,7 @@ class SwinUNet(nn.Module):
             num_heads=self.num_heads[-1],
             window_size=self.window_size,
             use_pallas=self.use_pallas,
+            attn_chunk=self.attn_chunk,
             remat=self.remat,
             dtype=self.dtype,
         )
@@ -104,6 +107,7 @@ class SwinUNetSR(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     use_pallas: bool = False
+    attn_chunk: int = 0
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -119,6 +123,7 @@ class SwinUNetSR(nn.Module):
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
             use_pallas=self.use_pallas,
+            attn_chunk=self.attn_chunk,
             remat=self.remat,
             dtype=self.dtype,
         )
@@ -134,6 +139,7 @@ class SwinUNetSR(nn.Module):
             num_heads=self.num_heads[-1],
             window_size=self.window_size,
             use_pallas=self.use_pallas,
+            attn_chunk=self.attn_chunk,
             remat=self.remat,
             dtype=self.dtype,
         )
@@ -150,6 +156,7 @@ class SwinUNetSR(nn.Module):
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
             use_pallas=self.use_pallas,
+            attn_chunk=self.attn_chunk,
             remat=self.remat,
             dtype=self.dtype,
         )

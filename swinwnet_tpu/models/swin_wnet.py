@@ -47,6 +47,7 @@ class SwinWNet(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     use_pallas: bool = False
+    attn_chunk: int = 0
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -62,6 +63,7 @@ class SwinWNet(nn.Module):
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
             use_pallas=self.use_pallas,
+            attn_chunk=self.attn_chunk,
             remat=self.remat,
             dtype=self.dtype,
         )
@@ -76,6 +78,7 @@ class SwinWNet(nn.Module):
             num_heads=self.num_heads[-1],
             window_size=self.window_size,
             use_pallas=self.use_pallas,
+            attn_chunk=self.attn_chunk,
             remat=self.remat,
             dtype=self.dtype,
         )
@@ -97,6 +100,7 @@ class SwinWNet(nn.Module):
             num_heads=self.num_heads[-1],
             window_size=self.window_size,
             use_pallas=self.use_pallas,
+            attn_chunk=self.attn_chunk,
             remat=self.remat,
             dtype=self.dtype,
         )
@@ -114,6 +118,7 @@ class SwinWNet(nn.Module):
             attn_drop=self.attn_drop,
             drop_path=self.drop_path,
             use_pallas=self.use_pallas,
+            attn_chunk=self.attn_chunk,
             remat=self.remat,
             dtype=self.dtype,
         )
