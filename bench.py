@@ -4,9 +4,11 @@ Runs the flagship multimodal pipeline (BASELINE config #4: [B,2,250,480]
 diffraction + error matrix -> masked 2x-SR pattern) end-to-end on the
 attached TPU chip and prints ONE JSON line.
 
-Serving mode: bfloat16 compute (the production configuration; binarized
-masks agree with fp32 on >99% of pixels — tests/test_modes.py). Set
-SWINWNET_BENCH_DTYPE=float32 for the parity-precision configuration.
+Serving mode: bfloat16 compute + chunked window attention (binarized masks
+agree with fp32 on >99% of pixels — tests/test_modes.py; chunking is
+numerically identical and bounds the live attention tensor so large batches
+fit HBM). Set SWINWNET_BENCH_DTYPE=float32 for the parity-precision
+configuration.
 
 Timing methodology: iterations are serialized through a data dependency
 (each step's input mixes in the previous output) and the loop ends with a
@@ -28,8 +30,8 @@ import numpy as np
 # (the anchor for vs_baseline across rounds — do not edit retroactively).
 BASELINE_IPS = 11.2
 
-BATCH = 8
-ITERS = 10
+BATCH = 64
+ITERS = 5
 
 
 def main():
@@ -47,6 +49,7 @@ def main():
         depths=(2, 2, 2, 2),
         num_heads=(3, 6, 12, 24),
         window_size=5,
+        attn_chunk=8192,
         dtype=dtype,
     )
     x = jnp.asarray(
