@@ -280,6 +280,7 @@ class WindowAttention(nn.Module):
             and (self.proj_drop == 0.0 or deterministic)
             and Bw >= 2000
             and hd <= 16  # Mosaic miscompiles the hd=32 lane-slice variant
+            and self.dtype == jnp.float32  # bf16 tiling breaks in-kernel reshapes
             and jax.default_backend() == "tpu"
         )
         if can_fuse:
