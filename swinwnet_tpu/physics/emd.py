@@ -1,51 +1,24 @@
-"""Peak-shape Wasserstein-1 (EMD) metrics (reference: Diffraction_metrics.py:150-203).
+"""Peak-shape Wasserstein-1 (EMD) metrics — on-device variants.
 
 Profiles are normalized to unit mass, resampled onto a relative grid
 ``x = (d - d_peak) / d_peak`` over ``linspace(-0.03, 0.03, 64)`` and compared
-via W1 = sum |CDF_p - CDF_q| * dx. Pure-numpy host versions for the eval
-harness plus a vectorized JAX version for compiled reward graphs.
+via W1 = sum |CDF_p - CDF_q| * dx (reference: Diffraction_metrics.py:150-203).
+The host-side spec transcription lives in :mod:`.host_oracle` and is
+re-exported here; this module adds the fixed-shape vmap-friendly JAX versions
+used inside compiled reward graphs.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
-X_REF = np.linspace(-0.03, 0.03, 64)
-
-
-def normalize_profile(I):
-    s = np.sum(I)
-    if s <= 0:
-        return None
-    return I / s
-
-
-def resample_profile(d, I, d_center, x_ref):
-    x = (d - d_center) / d_center
-    I_norm = normalize_profile(I)
-    if I_norm is None:
-        return None
-    return np.interp(x_ref, x, I_norm, left=0.0, right=0.0)
-
-
-def emd_1d(p, q, dx):
-    cdf_p = np.cumsum(p)
-    cdf_q = np.cumsum(q)
-    return np.sum(np.abs(cdf_p - cdf_q)) * dx
-
-
-def emd_shape_loss(peak1, peak2, x_ref=X_REF, eps=1e-12):
-    p1 = resample_profile(peak1["profile_d"], peak1["profile_I"], peak1["d"], x_ref)
-    p2 = resample_profile(peak2["profile_d"], peak2["profile_I"], peak2["d"], x_ref)
-    if p1 is None or p2 is None:
-        return 0.0
-    p1 = np.maximum(p1, 0)
-    p2 = np.maximum(p2, 0)
-    p1 = p1 / (np.sum(p1) + eps)
-    p2 = p2 / (np.sum(p2) + eps)
-    dx = x_ref[1] - x_ref[0]
-    return emd_1d(p1, p2, dx)
+from .host_oracle import (  # noqa: F401
+    X_REF,
+    emd_1d,
+    emd_shape_loss,
+    normalize_profile,
+    resample_profile,
+)
 
 
 # ---------------------------------------------------------------------------

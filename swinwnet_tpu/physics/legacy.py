@@ -8,8 +8,9 @@ Peak_loss.py:128-190). It produced the published
 `results/SwinWnet_physycal_loss_RL.json` / `AGVpool_peak_losses.json` scalars.
 
 `naive_rebin` is the DiffQ-style per-pixel rebinner
-(support_files/DiffQ.py:13-83) kept as an independent oracle; it delegates to
-the vectorized `Qwrapper` since both are exact binning.
+(support_files/DiffQ.py:13-83), implemented as a genuinely *independent*
+oracle: a scalar-math double loop over detector pixels with bisect-based bin
+lookup, sharing no code with the vectorized `Qwrapper` it cross-checks.
 """
 
 from __future__ import annotations
@@ -69,8 +70,50 @@ class DiffractionPipeline:
 
 
 def naive_rebin(image: np.ndarray, centers, theta_range=GEOMETRY.theta_range,
-                L_range=GEOMETRY.lambda_range) -> np.ndarray:
-    """DiffQ-style single-image rebin -> I(d) (support_files/DiffQ.py:13-83);
-    exact binning, so it shares the vectorized implementation."""
-    qw = Qwrapper(theta_range, L_range, fixed_centers=centers)
-    return np.asarray(qw.rebin(np.asarray(image)[None, None]))[0]
+                L_range=GEOMETRY.lambda_range, d_max: float = GEOMETRY.d_max) -> np.ndarray:
+    """DiffQ-style single-image rebin -> I(d) (support_files/DiffQ.py:13-83).
+
+    Independent oracle for `Qwrapper.rebin`: pure scalar math per pixel
+    (d = lambda / (2 sin(|theta|/2)), bisect bin lookup over float32 edges,
+    d > d_max dropped). Deliberately loop-based and free of any shared helper
+    so a bug in the vectorized path cannot hide here.
+    """
+    from bisect import bisect_right
+
+    image = np.asarray(image, dtype=np.float64)
+    if image.ndim != 2:
+        raise ValueError("naive_rebin expects a single [H, W] image")
+    H, W = image.shape
+
+    centers = [float(np.float32(c)) for c in np.asarray(centers)]
+    n = len(centers)
+    # edges from centers, in float32 arithmetic like the reference's buffers
+    f32 = np.float32
+    edges = [float(f32(f32(centers[0]) - f32(f32(centers[1]) - f32(centers[0])) * f32(0.5)))]
+    for a, b in zip(centers[:-1], centers[1:]):
+        edges.append(float(f32((a + b)) * 0.5))  # exact: f64 sum of f32s rounds like f32 add
+    edges.append(float(f32(f32(centers[-1]) + f32(f32(centers[-1]) - f32(centers[-2])) * f32(0.5))))
+
+    out = [0.0] * n
+    th_lo, th_hi = theta_range
+    lam_lo, lam_hi = L_range
+    for i in range(H):
+        lam = lam_lo + (lam_hi - lam_lo) * i / (H - 1)
+        for j in range(W):
+            theta_deg = th_lo + (th_hi - th_lo) * j / (W - 1)
+            theta = math.radians(abs(theta_deg))
+            s = 2.0 * math.sin(theta / 2.0)
+            # theta == 0 (odd-W grids) => d = inf, dropped by the d_max mask
+            # exactly like the vectorized path's divide-by-zero -> inf
+            if s == 0.0:
+                continue
+            d = lam / s
+            if d > d_max:
+                continue
+            b = bisect_right(edges, d) - 1
+            if b < 0:
+                b = 0
+            elif b > n - 1:
+                b = n - 1
+            out[b] += image[i, j]
+    return np.asarray(out, dtype=np.float64)

@@ -1,18 +1,14 @@
-"""Peak detection on 1D I(d) spectra.
+"""Peak detection on 1D I(d) spectra — TPU-native vectorized variant.
 
-Two implementations with identical semantics:
+``find_peaks_device`` is a fully vectorized JAX re-design of scipy's
+``find_peaks`` returning a fixed-size padded peak table, suitable for compiled
+RL-reward graphs where host callbacks would serialize the step. It reproduces
+scipy's local-max / plateau, height, prominence, width and distance gating
+(verified against scipy in tests/test_physics.py).
 
-* ``find_peaks_for_batch`` — host-side, uses ``scipy.signal.find_peaks`` with
-  the reference's gating parameters (height=0.05, distance=10, prominence=0.1,
-  width=5; Diffraction_metrics.py:109-118) and per-peak window extraction
-  (1.5 x width; Diffraction_metrics.py:76-93). Used by the evaluation harness
-  where exact scipy parity matters.
-
-* ``find_peaks_device`` — a fully vectorized JAX variant returning a
-  fixed-size padded peak table, suitable for compiled RL-reward graphs where
-  host callbacks would serialize the step. It reproduces scipy's local-max /
-  plateau, height, prominence, width and distance gating (verified against
-  scipy in tests/test_physics.py).
+The host-side spec transcription (``find_peaks_for_batch`` etc., used by the
+eval harness where exact scipy parity matters) lives in
+:mod:`.host_oracle` and is re-exported here for API compatibility.
 """
 
 from __future__ import annotations
@@ -22,72 +18,10 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from scipy.signal import find_peaks
+
+from .host_oracle import extract_peak_region, find_peaks_for_batch  # noqa: F401
 
 MAX_PEAKS = 64  # static peak-table capacity for the on-device variant
-
-
-def extract_peak_region(d, I, peak_idx, peaks, properties, scale_factor=1.5, default_window=15):
-    """Window of 1.5 x fitted width around a peak (Diffraction_metrics.py:76-93)."""
-    try:
-        peak_array_idx = np.where(peaks == peak_idx)[0][0]
-    except IndexError:
-        return d[peak_idx : peak_idx + 1], I[peak_idx : peak_idx + 1]
-
-    if "widths" in properties:
-        window = int(properties["widths"][peak_array_idx] * scale_factor)
-    else:
-        window = default_window
-
-    start = max(peak_idx - window, 0)
-    end = min(peak_idx + window, len(d))
-    return d[start:end], I[start:end]
-
-
-def find_peaks_for_batch(
-    batch_DI,
-    height=0.05,
-    distance=10,
-    prominence=0.1,
-    width=5,
-    scale_factor=1.5,
-    default_window=15,
-    scale=False,
-):
-    """Per-sample peak tables from ``Qwrapper.tensor_to_d`` output.
-
-    ``scale=True`` divides I by 4 to compensate for the 4x pixel count of the
-    2x-super-resolved pattern (Diffraction_metrics.py:110).
-    """
-    batch_results = []
-    for sample in batch_DI:
-        d = sample["d"]
-        I = sample["I"] / 4 if scale else sample["I"]
-
-        peaks, properties = find_peaks(
-            I, height=height, distance=distance, prominence=prominence, width=width
-        )
-
-        sample_peaks = []
-        for peak_idx in peaks:
-            d_window, I_window = extract_peak_region(
-                d, I, peak_idx, peaks, properties, scale_factor, default_window
-            )
-            integral_intensity = float(np.sum(I_window))
-            max_intensity = float(I[peak_idx])
-            com = np.sum(d_window * I_window) / np.sum(I_window)
-            sample_peaks.append(
-                {
-                    "d": float(d[peak_idx]),
-                    "d_com": float(com),
-                    "integral_intensity": integral_intensity,
-                    "max_intensity": max_intensity,
-                    "profile_d": d_window,
-                    "profile_I": I_window,
-                }
-            )
-        batch_results.append(sample_peaks)
-    return batch_results
 
 
 # ---------------------------------------------------------------------------
