@@ -102,32 +102,41 @@ def synthesize_dataset(
 
 
 class McStasRenderer:
-    """Gated wrapper of the McStas TOF-diffractometer instrument
-    (Diffraction_generation_script.py:18-264: 3-component moderator source,
+    """McStas TOF-diffractometer renderer (reference:
+    Diffraction_generation_script.py:18-264 — 3-component moderator source,
     double disk choppers, 5.5 m guide + bender, PowderN sample from .laz
     reflection lists, 480x250 banana monitor).
 
-    Requires `mcstasscript` + a McStas 3.x install; raises ImportError with
-    guidance otherwise. The sweep driver (`render_sweep`) mirrors
-    Diffraction_render_script.py:31-46 and returns records
+    The instrument itself is a declarative spec (`data.mcstas.dif60_spec`) so
+    construction is unit-testable without a simulator; this class binds it to
+    a mcstasscript-compatible backend. Pass `backend=` explicitly for tests;
+    by default the real `mcstasscript` package is imported (which requires a
+    McStas 3.x install to actually run). The sweep driver (`render_sweep`)
+    mirrors Diffraction_render_script.py:31-46 and returns records
     {Matrix, Crystal, Stats, "Pulce duration"} (sic — the published pickle's
     column spelling)."""
 
-    def __init__(self, work_dir: str = "mcstas_runs"):
-        try:
-            import mcstasscript  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "McStas rendering requires the external McStas 3.x simulator and "
-                "the mcstasscript package; use data.generation.synthesize_pattern "
-                "for a self-contained synthetic generator."
-            ) from e
-        self.work_dir = work_dir
+    def __init__(self, mcrun_path: str = "", mcstas_path: str = "", backend=None):
+        if backend is None:
+            try:
+                import mcstasscript as backend  # noqa: F811
+            except ImportError as e:
+                raise ImportError(
+                    "McStas rendering requires the external McStas 3.x simulator and "
+                    "the mcstasscript package; use data.generation.synthesize_pattern "
+                    "for a self-contained synthetic generator."
+                ) from e
+        self.backend = backend
+        self.mcrun_path = mcrun_path
+        self.mcstas_path = mcstas_path
 
     def get_diffraction(self, crystal: str, stats: float, pulse_duration: float) -> np.ndarray:
-        raise NotImplementedError(
-            "Instrument assembly requires a local McStas install; see the "
-            "reference recipe at support_files/Diffraction_generation_script.py:18-264."
+        from .mcstas import dif60_spec, run_instrument
+
+        spec = dif60_spec(crystal, pulse_duration)
+        return run_instrument(
+            spec, self.backend, ncount=stats,
+            mcrun_path=self.mcrun_path, mcstas_path=self.mcstas_path,
         )
 
     def render_sweep(self, crystals: Sequence[str], stats=SWEEP_STATS, pulses=SWEEP_PULSE_DURATIONS_US):
