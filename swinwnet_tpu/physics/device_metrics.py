@@ -24,11 +24,18 @@ import jax.numpy as jnp
 
 from .peaks import MAX_PEAKS, find_peaks_device
 
-W_MAX = 256  # static cap on the per-peak half-window (samples)
+# Static cap on the per-peak half-window (samples). The host spec has no cap
+# (window = int(1.5 * fitted_width) can span the whole spectrum); on device
+# the window buffer must be fixed-size, so peaks wider than w_max/1.5 samples
+# are silently truncated. 256 covers every peak the published gating
+# (width>=5, prominence>=0.1) produces on the 832/1241-bin evaluation grids;
+# raise via the `w_max` argument for pathological data
+# (tests/test_physics_device.py::test_w_max_truncation quantifies the effect).
+W_MAX = 256
 X_REF_N = 64
 
 
-def _peak_table(I, d, height, distance, prominence, width) -> Dict[str, jnp.ndarray]:
+def _peak_table(I, d, height, distance, prominence, width, w_max=W_MAX) -> Dict[str, jnp.ndarray]:
     """Fixed-size peak table for one spectrum: positions, windowed integrals,
     centers of mass, and unit-mass profiles resampled onto the relative grid."""
     n = I.shape[0]
@@ -36,8 +43,9 @@ def _peak_table(I, d, height, distance, prominence, width) -> Dict[str, jnp.ndar
     valid = pk["valid"]
     idx = pk["idx"]
     window = jnp.floor(pk["widths"] * 1.5).astype(jnp.int32)  # int() truncation
+    window = jnp.minimum(window, w_max)
 
-    offs = jnp.arange(-W_MAX, W_MAX)  # [2*W_MAX]
+    offs = jnp.arange(-w_max, w_max)  # [2*w_max]
     pos = idx[:, None] + offs[None, :]  # [P, 2W]
     # reference slice [max(i-w,0) : min(i+w, n)) (Diffraction_metrics.py:90-93)
     in_win = (offs[None, :] >= -window[:, None]) & (offs[None, :] < window[:, None])
@@ -119,7 +127,10 @@ def _match_and_score(pred, true, tol):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "distance", "prominence", "width", "tol", "scale_pred", "scale_true"),
+    static_argnames=(
+        "height", "distance", "prominence", "width", "tol",
+        "scale_pred", "scale_true", "w_max",
+    ),
 )
 def diffraction_metrics_device(
     pred_I,
@@ -132,6 +143,7 @@ def diffraction_metrics_device(
     tol=0.05,
     scale_pred=False,
     scale_true=False,
+    w_max=W_MAX,
 ):
     """[B, n] rebinned spectra pairs -> per-sample (Iint, Imax, Shape) arrays.
 
@@ -148,8 +160,8 @@ def diffraction_metrics_device(
         true_I = true_I / 4
 
     def per_sample(p, t):
-        pt = _peak_table(p, centers, height, distance, prominence, width)
-        tt = _peak_table(t, centers, height, distance, prominence, width)
+        pt = _peak_table(p, centers, height, distance, prominence, width, w_max)
+        tt = _peak_table(t, centers, height, distance, prominence, width, w_max)
         return _match_and_score(pt, tt, tol)
 
     Iint, Imax, shape = jax.vmap(per_sample)(pred_I, true_I)

@@ -125,11 +125,20 @@ def _widths(I, peak_mask, prom, rel_height=0.5):
 
 
 def _enforce_distance(peak_mask, I, distance):
-    """scipy `_select_by_peak_distance`: highest peaks claim the window first."""
+    """scipy `_select_by_peak_distance`: highest peaks claim the window first.
+
+    Tie-break on equal heights: scipy iterates its ascending argsort from the
+    END, so with numpy's default unstable quicksort the survivor among exact
+    equal-height peaks is an artifact of partition order — irreproducible in
+    general (rebinned Poisson counts DO collide exactly; see
+    tests/test_physics_device.py). Here ties are broken deterministically:
+    the LATER position wins, which matches scipy whenever its sort happens to
+    be stable (small/structured tie groups)."""
     n = I.shape[0]
     priority = jnp.where(peak_mask, I, -jnp.inf)
-    order = jnp.argsort(-priority)  # by descending height; masked peaks last
     idx = jnp.arange(n)
+    # primary: descending height; secondary: descending position
+    order = jnp.lexsort((-idx, -priority))
 
     def body(keep, k):
         pos = order[k]
