@@ -116,3 +116,48 @@ def test_rl_pipeline_parity(ref_modules):
     got = np.asarray(jout)
     err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
     assert err < 1e-3, f"images_masked_hr rel err {err:.2e}"
+
+
+@pytest.mark.slow
+def test_st_pipeline_parity_full_geometry(ref_modules):
+    """VERDICT round-1 item 9: the real 250x480 -> 500x960 geometry through
+    all 8 stages — exercises the actual padding/cropping path and the
+    ScaleAwarePatchEmbed scale-2 branch at full size (SwinWNet.py:60-67),
+    which the fast 50x60 proxy above cannot."""
+    ref_model, ref_pipe, _, _ = ref_modules
+    from swinwnet_tpu.compat import convert_state_dict
+    from swinwnet_tpu.models import SwinWNet
+    from swinwnet_tpu.pipelines import SwinWNetInference
+
+    torch.manual_seed(11)
+    tmodel = ref_model.SwinWNet(in_chans=1, error_matrix=True, **CFG).eval()
+    tinfer = ref_pipe.SwinWNetInference(tmodel, "cpu")
+
+    jmodel = SwinWNet(
+        in_chans=1, error_matrix=True,
+        **{**CFG, "depths": tuple(CFG["depths"]), "num_heads": tuple(CFG["num_heads"])},
+    )
+    jinfer = SwinWNetInference(jmodel, {"params": convert_state_dict(tmodel.state_dict())})
+
+    x = np.random.default_rng(11).uniform(0, 1e3, size=(1, 1, 250, 480)).astype(np.float32)
+    with torch.no_grad():
+        tout = tinfer(torch.from_numpy(x))
+    jout = jinfer(x)
+
+    assert np.asarray(jout).shape == (1, 2, 500, 960)  # diffraction + error channel
+    for name in (
+        "images",
+        "seg_map_lr",
+        "images_masked_lr",
+        "norm",
+        "upscaled_norm",
+        "upscaled_denorm",
+        "seg_map_hr",
+        "images_masked_hr",
+    ):
+        want = getattr(tinfer, name).numpy()
+        got = np.asarray(getattr(jinfer, name))
+        assert got.shape == want.shape, name
+        denom = max(np.abs(want).max(), 1e-6)
+        err = np.abs(got - want).max() / denom
+        assert err < 1e-3, f"{name}: rel err {err:.2e}"
