@@ -20,7 +20,11 @@ def initialize_multihost(
     process_id: Optional[int] = None,
 ):
     """jax.distributed.initialize with explicit or env-based configuration.
-    No-op when the runtime is single-process."""
+
+    Returns False (no-op) when the runtime is single-process with no
+    coordinator configured; returns True after the distributed service is up.
+    Tested in tests/test_multihost.py including a real coordinator bring-up.
+    """
     if num_processes in (None, 1) and coordinator_address is None:
         return False
     jax.distributed.initialize(
@@ -29,3 +33,21 @@ def initialize_multihost(
         process_id=process_id,
     )
     return True
+
+
+def process_batch_slice(
+    global_batch: int,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> slice:
+    """This process's contiguous slice of a global batch.
+
+    Data loading is per-host: each process feeds its local devices its slice,
+    and `shard_batch` over the global mesh stitches them into one logical
+    array. The global batch must divide evenly (static shapes everywhere)."""
+    n = jax.process_count() if num_processes is None else num_processes
+    pid = jax.process_index() if process_id is None else process_id
+    if global_batch % n != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by {n} processes")
+    per = global_batch // n
+    return slice(pid * per, (pid + 1) * per)

@@ -60,3 +60,64 @@ def test_graft_dryrun_multichip():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_sharded_train_step_matches_single_device_real_arch():
+    """A sharded stage-3 odd step (fwd + bwd + masked-AdamW update) of the
+    REAL architecture must produce the same updated params as the identical
+    step run unsharded on one device (VERDICT round-1 item 4). Spatial dims
+    are reduced (batch DP shards only axis 0; compile time on the 1-core CI
+    host is the constraint), the architecture is the published-checkpoint
+    config."""
+    from swinwnet_tpu.train.freeze import masked_adamw
+    from swinwnet_tpu.train.losses import combined_loss, smooth_l1_loss
+    from swinwnet_tpu.train.trainers import TrainState, make_stage3_steps
+
+    model = SwinWNet(
+        in_chans=1,
+        error_matrix=True,
+        embed_dim=48,
+        depths=(2, 2, 2, 2),
+        num_heads=(3, 6, 12, 24),
+        window_size=5,
+    )
+    B, H, W = 8, 50, 60
+    images = jnp.asarray(np.random.default_rng(0).uniform(0, 10, (B, 1, H, W)), jnp.float32)
+    masks = jnp.asarray((np.random.default_rng(1).uniform(size=(B, H, W)) > 0.5), jnp.float32)
+
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, H, W)))["params"]
+    tx = masked_adamw(params, "stage3", 1e-4)
+    _, odd_step, _, _ = make_stage3_steps(model, tx, combined_loss, smooth_l1_loss)
+
+    # single-device reference update
+    state1 = TrainState.create(params, tx)
+    new1, aux1 = odd_step(state1, images, masks)
+    want = jax.tree.map(np.asarray, new1.params)
+
+    # sharded update over the 8-device mesh
+    mesh = make_mesh(8)
+    state8 = replicate(TrainState.create(params, tx), mesh)
+    new8, aux8 = odd_step(state8, shard_batch(images, mesh), shard_batch(masks, mesh))
+    got = jax.tree.map(np.asarray, new8.params)
+
+    np.testing.assert_allclose(float(aux8["loss"]), float(aux1["loss"]), rtol=1e-5)
+    flat_want = jax.tree_util.tree_leaves_with_path(want)
+    flat_got = jax.tree.leaves(got)
+    assert len(flat_want) == len(flat_got)
+    changed = 0
+    for (path, w), g in zip(flat_want, flat_got):
+        np.testing.assert_allclose(
+            g, w, rtol=1e-5, atol=1e-6, err_msg=jax.tree_util.keystr(path)
+        )
+        if not np.array_equal(np.asarray(g), np.asarray(params_leaf(params, path))):
+            changed += 1
+    assert changed > 0, "update was a no-op; equivalence is vacuous"
+
+
+def params_leaf(tree, path):
+    node = tree
+    for p in path:
+        key = getattr(p, "key", getattr(p, "idx", None))
+        node = node[key]
+    return node
