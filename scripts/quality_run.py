@@ -1,0 +1,242 @@
+"""Quality-parity run: train on synthetic crystals -> full published eval
+protocol -> QUALITY_r{N}.json + comparison vs the published baselines.
+
+This is the end-to-end exercise of the acceptance path the reference defines
+(train -> tests.py MetricsCalculator -> results/*.json):
+
+* dataset: a library of synthetic "crystals" (each a fixed d-list +
+  intensities, the synthetic analog of a .laz reflection list), rendered by
+  the Bragg renderer with Poisson counting noise; 6 crystals are held out for
+  eval, mirroring the published recipe (SURVEY.md §4: Al2O3_sapphire,
+  C_graphite, Na2Ca3Al2F14, Rb, Si, UO2 at max stats).
+* training: the 3-stage supervised pipeline (config #4 analog: multimodal
+  diffraction + error matrix) on the attached TPU chip.
+* eval: 5 noise-injected passes (additive N(100, 20),
+  Physycal_metrics_test.ipynb cell 14) over the held-out crystals ->
+  segmentation (3 thresholds, LR+HR), PSNR/SSIM (3 channel views), physical
+  d-space metrics -> written in the exact results/*.json schema.
+* regression: informational comparison against the published baseline
+  distributions (/root/reference/results). NOTE: the published numbers were
+  produced with the real McStas dataset and the released .pth weights; both
+  are unavailable in this environment (LFS pointer stubs + no network — see
+  BLOCKERS.md), so deltas vs the baselines are recorded as context, not as a
+  pass/fail gate. The machinery (checkpoint port, eval protocol, schema,
+  regression gate) is exactly what a real-weights run would use.
+
+    python scripts/quality_run.py --out QUALITY_r02 \
+        --train-crystals 32 --renders-per-crystal 4 \
+        --seg-epochs 30 --sr-epochs 10 --full-epochs 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+HELD_OUT = ("Al2O3_sapphire", "C_graphite", "Na2Ca3Al2F14", "Rb", "Si", "UO2")
+
+
+def make_crystal_library(n_train: int, seed: int = 0):
+    """Synthetic crystal library: name -> (d_list, intensities)."""
+    rng = np.random.default_rng(seed)
+    lib = {}
+    for name in list(HELD_OUT) + [f"crystal_{i:02d}" for i in range(n_train)]:
+        n_peaks = int(rng.integers(6, 16))
+        d = np.sort(rng.uniform(0.6, 7.0, n_peaks))
+        inten = rng.uniform(0.2, 3.0, n_peaks)
+        lib[name] = (d, inten)
+    return lib
+
+
+def render_crystals(lib, names, renders_each, H, W, seed=0):
+    """Render patterns + ground-truth masks for the given crystal names."""
+    from swinwnet_tpu.data.generation import synthesize_pattern
+
+    rng = np.random.default_rng(seed)
+    images, masks = [], []
+    for name in names:
+        d, inten = lib[name]
+        for r in range(renders_each):
+            s = int(rng.integers(0, 2**31))
+            img = synthesize_pattern(d, inten, H=H, W=W, seed=s)
+            clean = synthesize_pattern(d, inten, H=H, W=W, seed=None, background=0.0)
+            thr = float(clean.max()) * 5e-3 if clean.max() > 0 else 1.0
+            images.append(img)
+            masks.append((clean > thr).astype(np.uint8))
+    return np.stack(images), np.stack(masks)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="QUALITY_r02")
+    p.add_argument("--height", type=int, default=250)
+    p.add_argument("--width", type=int, default=480)
+    p.add_argument("--train-crystals", type=int, default=32)
+    p.add_argument("--renders-per-crystal", type=int, default=4)
+    p.add_argument("--eval-renders-per-crystal", type=int, default=8)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--seg-epochs", type=int, default=30)
+    p.add_argument("--sr-epochs", type=int, default=10)
+    p.add_argument("--full-epochs", type=int, default=10)
+    p.add_argument("--warmup-epochs", type=int, default=3)
+    p.add_argument("--noise-passes", type=int, default=5)
+    p.add_argument("--tiny", action="store_true", help="tiny arch + 50x60 for smoke runs")
+    p.add_argument("--baselines", default="/root/reference/results")
+    args = p.parse_args()
+
+    from swinwnet_tpu.data import ArrayLoader
+    from swinwnet_tpu.data.noise import add_eval_noise
+    from swinwnet_tpu.evalharness import MetricsCalculator, write_results_json
+    from swinwnet_tpu.evalharness.regression import compare_with_baseline, load_baseline_arrays
+    from swinwnet_tpu.models import SwinWNet
+    from swinwnet_tpu.train import SwinWNetTrainingPipeline
+    from swinwnet_tpu.utils import save_checkpoint
+    import jax
+
+    if args.tiny:
+        args.height, args.width = 50, 60
+        model = SwinWNet(
+            in_chans=1, error_matrix=True, embed_dim=12, depths=(1, 1, 1, 1),
+            num_heads=(3, 6, 12, 24), window_size=5,
+        )
+    else:
+        # the published checkpoint architecture (config #4)
+        model = SwinWNet(
+            in_chans=1, error_matrix=True, embed_dim=48, depths=(2, 2, 2, 2),
+            num_heads=(3, 6, 12, 24), window_size=5, attn_chunk=8192,
+        )
+
+    t_start = time.time()
+    lib = make_crystal_library(args.train_crystals, seed=0)
+    train_names = [n for n in lib if n not in HELD_OUT]
+    print(f"rendering {len(train_names)} train crystals x{args.renders_per_crystal}...")
+    train_images, train_masks = render_crystals(
+        lib, train_names, args.renders_per_crystal, args.height, args.width, seed=1
+    )
+    eval_images, eval_masks = render_crystals(
+        lib, HELD_OUT, args.eval_renders_per_crystal, args.height, args.width, seed=2
+    )
+    print(f"train {train_images.shape}, eval {eval_images.shape} "
+          f"({time.time()-t_start:.0f}s)")
+
+    train_loader = ArrayLoader(train_images, train_masks, batch_size=args.batch, shuffle=True)
+    val_loader = ArrayLoader(eval_images, eval_masks, batch_size=args.batch)
+
+    import jax.numpy as jnp
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, args.height, args.width))
+    )["params"]
+
+    pipe = SwinWNetTrainingPipeline(
+        model, params, train_loader, val_loader,
+        seg_epochs=args.seg_epochs, sr_epochs=args.sr_epochs,
+        full_epochs=args.full_epochs, warmup_epochs=args.warmup_epochs,
+    )
+    t0 = time.time()
+    params, _histories = pipe.run()
+    print(f"training done in {(time.time()-t0)/60:.1f} min")
+    save_checkpoint(os.path.abspath(f"{args.out}_ckpt"), {"params": params})
+
+    variables = {"params": params}
+
+    # ----- published eval protocol: N noise passes over held-out crystals -----
+    seg_all, ups_all, phys_all = None, None, None
+    for k in range(args.noise_passes):
+        noisy = add_eval_noise(eval_images[:, None].astype(np.float32), seed=k)[:, 0]
+        loader = ArrayLoader(noisy, eval_masks, batch_size=args.batch)
+        calc = MetricsCalculator(model, variables, loader, verbose=False)
+        seg = calc.CalculateSegmentationMetrics()
+        ups = calc.CalculateUpscalerMetrics()
+        phys = calc.CalculatePhysycalMetrics()
+        if seg_all is None:
+            seg_all, ups_all, phys_all = seg, ups, phys
+        else:
+            for res in seg:
+                for thr in seg[res]:
+                    seg_all[res][thr].extend(seg[res][thr])
+            for sec in ups:
+                for m in ups[sec]:
+                    ups_all[sec][m].extend(ups[sec][m])
+            for m in phys:
+                phys_all[m] = np.concatenate([phys_all[m], phys[m]])
+        print(f"noise pass {k+1}/{args.noise_passes} done")
+
+    write_results_json(f"{args.out}_segmentation_metrics.json", seg_all)
+    write_results_json(f"{args.out}_upscaling_metrics.json", ups_all)
+    write_results_json(
+        f"{args.out}_physical_metrics.json",
+        {
+            "Integral Intensity": phys_all["integral"],
+            "Peak Intensity": phys_all["peak"],
+            "Shape": phys_all["shape"],
+        },
+    )
+
+    # ----- summary + informational comparison vs the published baselines -----
+    def seg_summary(block):
+        out = {}
+        for thr, rows in block.items():
+            out[thr] = {
+                k: [float(np.mean([r[k] for r in rows])), float(np.std([r[k] for r in rows], ddof=1))]
+                for k in rows[0]
+            }
+        return out
+
+    summary = {
+        "run": args.out,
+        "config": "SwinWNet diffraction+error_matrix (config #4 analog)",
+        "data": f"synthetic crystals; {len(train_names)}x{args.renders_per_crystal} train, "
+                f"{len(HELD_OUT)}x{args.eval_renders_per_crystal} eval x{args.noise_passes} noise passes",
+        "geometry": [args.height, args.width],
+        "n_eval_samples": int(len(eval_images) * args.noise_passes),
+        "segmentation": {res: seg_summary(seg_all[res]) for res in seg_all},
+        "upscaling": {
+            sec: {m: [float(np.mean(v)), float(np.std(v, ddof=1))] for m, v in d.items() if len(v)}
+            for sec, d in ups_all.items()
+        },
+        "physical": {
+            m: [float(np.mean(phys_all[m])), float(np.std(phys_all[m], ddof=1))]
+            for m in phys_all
+        },
+        "baseline_comparison": {},
+        "baseline_note": (
+            "published baselines use the real McStas dataset + released .pth "
+            "weights (unavailable here: LFS stubs, no egress — BLOCKERS.md); "
+            "deltas are informational, not gates"
+        ),
+    }
+
+    # segmentation IoU@0.50 vs the published SwinWNet (+error matrix) file
+    base_file = os.path.join(
+        args.baselines, "SwinWNet_diffraction+error_matrix_segmentation_metrics.json"
+    )
+    if os.path.exists(base_file):
+        try:
+            base = load_baseline_arrays(base_file)
+            for metric in ("IoU", "Dice", "PixelAccuracy"):
+                ours = np.array(
+                    [r[metric] for r in seg_all["Low Res"]["0.50 thrashold"]]
+                )
+                summary["baseline_comparison"][f"{metric}@0.50_lr"] = (
+                    compare_with_baseline(ours, base[f"metrics_50/{metric}"])
+                )
+        except Exception as e:  # baselines are frozen external files
+            summary["baseline_comparison"]["error"] = str(e)
+
+    with open(f"{args.out}.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"\nwrote {args.out}.json + metric files "
+          f"(total {(time.time()-t_start)/60:.1f} min)")
+    print(json.dumps({k: summary[k] for k in ("segmentation",)}, indent=1)[:800])
+
+
+if __name__ == "__main__":
+    main()
