@@ -22,6 +22,7 @@ Reference file for all layer semantics: /root/reference/SwinWNet.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -240,8 +241,11 @@ class WindowAttention(nn.Module):
     axis — scores [Wt, N, N, nH] — so there are NO transposes anywhere
     between the qkv matmul and the output projection (measured 3x faster at
     the finest level, and relayout-free). "matmul" keeps the round-1 batched
-    einsum path. With `use_pallas=True` (and no mask / dropout) the whole op
-    runs as one fused VMEM-resident Pallas kernel (ops/pallas/window_msa.py).
+    einsum path.
+
+    `use_pallas` is consumed one level up: SwinTransformerBlock routes
+    eligible windowed blocks through the fused whole-block kernel
+    (ops/pallas/swin_block.py) instead of calling this module at all.
     """
 
     dim: int
@@ -278,35 +282,6 @@ class WindowAttention(nn.Module):
         rpi = jnp.asarray(relative_position_index(self.window_size))
         rel_bias_nnh = bias_table[rpi.reshape(-1)].reshape(N, N, nH)  # heads minor
         rel_bias = rel_bias_nnh.transpose(2, 0, 1)  # [nH, N, N] for matmul path
-
-        # Fuse only window-heavy call sites (the finest pyramid levels), where
-        # XLA would otherwise materialize a [Wt, nH, 25, 25] attention tensor
-        # in HBM (30 GB at B=32 level-0). Deeper levels have few windows, the
-        # XLA path is fine there, and keeping the Mosaic surface small keeps
-        # whole-program kernel compilation cheap.
-        can_fuse = (
-            self.use_pallas
-            and mask is None
-            and self.attn_drop == 0.0
-            and (self.proj_drop == 0.0 or deterministic)
-            and Bw >= 2000
-            and hd <= 16  # Mosaic miscompiles the hd=32 lane-slice variant
-            and self.dtype == jnp.float32  # bf16 tiling breaks in-kernel reshapes
-            and jax.default_backend() == "tpu"
-        )
-        if can_fuse:
-            from ..ops.pallas.window_msa import fused_window_attention
-
-            bqkv = qkv_b if qkv_b is not None else jnp.zeros((3 * C,), jnp.float32)
-            return fused_window_attention(
-                x.astype(self.dtype),
-                qkv_k.astype(self.dtype),
-                bqkv.astype(self.dtype),
-                rel_bias.astype(jnp.float32),
-                proj_k.astype(self.dtype),
-                proj_b.astype(self.dtype),
-                nH,
-            )
 
         def attend_bcast(xw, m):
             """[k, N, C] windows -> attention output, heads-minor layout.
@@ -408,6 +383,58 @@ class Mlp(nn.Module):
         return x
 
 
+# smallest channel dim routed through the fused block kernel (see
+# SwinTransformerBlock: lane-padding inflation gates the SR-head levels out)
+_FUSE_MIN_DIM = int(os.environ.get("SWINWNET_FUSE_MIN_DIM", "48"))
+
+
+class _LNParams(nn.Module):
+    """Declares LayerNorm-compatible params ({scale, bias}) and returns them
+    raw, for routing into the fused block kernel with an identical
+    checkpoint tree."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        s = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return s, b
+
+
+class _AttnParams(nn.Module):
+    """WindowAttention's param tree (qkv/proj/bias-table), returned raw."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        C = self.dim
+        qkv_k, qkv_b = _LinearParams(3 * C, self.qkv_bias, name="qkv")(C)
+        proj_k, proj_b = _LinearParams(C, True, name="proj")(C)
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.normal(stddev=0.02),
+            ((2 * self.window_size - 1) ** 2, self.num_heads),
+            jnp.float32,
+        )
+        return qkv_k, qkv_b, proj_k, proj_b, table
+
+
+class _MlpParams(nn.Module):
+    """Mlp's param tree (fc1/fc2), returned raw."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        k1, b1 = _LinearParams(self.hidden, True, name="fc1")(in_dim)
+        k2, b2 = _LinearParams(self.out, True, name="fc2")(self.hidden)
+        return k1, b1, k2, b2
+
+
 @functools.lru_cache(maxsize=64)
 def _window_pad_mask_np(H: int, W: int, window_size: int) -> Optional[np.ndarray]:
     """[nW, N, 1] {0,1} mask of real (non-pad) token slots per window, or
@@ -459,9 +486,27 @@ class SwinTransformerBlock(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         if self.windowed:
             assert self.shift_size == 0, "windowed layout requires shift_size=0"
+            pad_mask0 = _window_pad_mask_np(*self.grid_hw, self.window_size)
+            # The Pallas call's operand layout constraint tiles [R, C] to the
+            # (8/16, 128) layout, so HBM I/O is inflated 128/C-fold. At the
+            # SR-head levels (C=12/24, the largest token counts) that inflation
+            # OOMs HBM at serving batch sizes — those levels stay on the XLA
+            # bcast path; C >= 48 pays <= 2.7x on far smaller grids.
+            fuse = (
+                self.use_pallas
+                and self.dim >= _FUSE_MIN_DIM
+                and pad_mask0 is None
+                and deterministic
+                and (
+                    jax.default_backend() == "tpu"
+                    or bool(os.environ.get("SWINWNET_FUSED_INTERPRET"))
+                )
+            )
+            if fuse:
+                return self._fused_windowed(x)
             shortcut = x
             x = LayerNorm(dtype=self.dtype, name="norm1")(x)
-            pad_mask = _window_pad_mask_np(*self.grid_hw, self.window_size)
+            pad_mask = pad_mask0
             if pad_mask is not None:
                 nW = pad_mask.shape[0]
                 x = (
@@ -525,6 +570,55 @@ class SwinTransformerBlock(nn.Module):
         )(y, deterministic=deterministic)
         y = nn.Dropout(self.drop_path, deterministic=deterministic)(y)
         return x + y
+
+    def _fused_windowed(self, x):
+        """Route the whole block through the fused Pallas kernel
+        (ops/pallas/swin_block.py): one HBM read + one write per block
+        instead of ~10 materialized intermediates. Param tree is identical
+        to the unfused path (checkpoint compatible). Serving only:
+        deterministic, shift 0, exactly-tiling grid."""
+        from ..ops.pallas.swin_block import fused_swin_block
+
+        C = self.dim
+        N = self.window_size * self.window_size
+        s1, b1 = _LNParams(name="norm1")(C)
+        qkv_k, qkv_b, proj_k, proj_b, table = _AttnParams(
+            dim=C,
+            window_size=self.window_size,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            name="attn",
+        )()
+        s2, b2 = _LNParams(name="norm2")(C)
+        hidden = int(self.dim * self.mlp_ratio)
+        k1, bb1, k2, bb2 = _MlpParams(hidden=hidden, out=C, name="mlp")(C)
+
+        rpi = jnp.asarray(relative_position_index(self.window_size))
+        rel_bias = table[rpi.reshape(-1)].reshape(N, N, self.num_heads).transpose(2, 0, 1)
+        if qkv_b is None:
+            qkv_b = jnp.zeros((3 * C,), jnp.float32)
+
+        interp = jax.default_backend() != "tpu"
+        out = fused_swin_block(
+            x.reshape(-1, C).astype(self.dtype),
+            s1,
+            b1,
+            qkv_k.astype(self.dtype),
+            qkv_b.astype(jnp.float32),
+            rel_bias.astype(jnp.float32),
+            proj_k.astype(self.dtype),
+            proj_b.astype(jnp.float32),
+            s2,
+            b2,
+            k1.astype(self.dtype),
+            bb1.astype(jnp.float32),
+            k2.astype(self.dtype),
+            bb2.astype(jnp.float32),
+            num_heads=self.num_heads,
+            window_tokens=N,
+            interpret=interp,
+        )
+        return out.reshape(x.shape)
 
 
 class BasicLayer(nn.Module):

@@ -1,0 +1,290 @@
+"""Fused whole-Swin-block Pallas TPU kernel.
+
+Round-2 profile (PERFORMANCE.md): the pipeline is HBM-bound — every
+inter-op tensor at the hot levels carries C ∈ {12, 24, 48} in the minor
+(lane) dim and is padded to the 128-lane tile, so XLA's op-by-op execution
+moves 2.7-10.7x more HBM bytes than the math needs, across ~10 materialized
+intermediates per block (LN, qkv, scores, softmax, attn-out, proj, residual,
+LN2, MLP hidden, MLP out).
+
+This kernel runs ONE ENTIRE SwinTransformerBlock (reference semantics:
+SwinWNet.py:211-280 with shift 0, the only shift the shipped checkpoints
+use — SwinWNet.py:328) per `pallas_call` grid step, VMEM-resident:
+
+    x -> LN1 -> qkv -> per-window MSA(+rel-pos bias) -> proj -> +residual
+      -> LN2 -> fc1 -> GELU(exact) -> fc2 -> +residual -> out
+
+reading each activation block from HBM once and writing once.
+
+Design notes (what round 1's kernel taught us — PERFORMANCE.md round-1
+status):
+
+* Activations are 2-D `[Wt*N, C]` token-major end to end. Every reshape
+  that reconstructs window structure ([BW*N, hd] -> [BW, N, hd]) happens on
+  **fp32** arrays — the bf16 (16, 128)-tiled relayouts that broke round 1's
+  in-kernel reshapes never occur; bf16 tensors only ever feed 2-D matmuls.
+* Per-head score/value contractions accumulate over **hd16 lane chunks**, so
+  a 32-wide head (the decoder levels) is two 16-wide contractions — the
+  Mosaic hd=32 lane-slice miscompile path is never taken.
+* Matmul precision mirrors the XLA serving path: bf16 operands with fp32
+  accumulation (`preferred_element_type`); LN statistics, softmax, and both
+  residual adds in fp32.
+
+The kernel covers deterministic, unshifted, unpadded-grid blocks (mask-free
+attention, zero dropout) — exactly the serving configuration; other configs
+fall back to the XLA formulations in models/layers.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# hd chunk for score/value contractions: lane-slice width that Mosaic
+# compiles correctly (round-1 validated hd <= 16; wider heads accumulate).
+_HD_CHUNK = 16
+
+
+def _erf32(x):
+    """erf for fp32 inputs, Abramowitz & Stegun 7.1.26 (|eps| <= 1.5e-7 —
+    fp32-exact for GELU). Mosaic lowers exp but not erf/erfc, so the
+    torch-exact GELU is built from this inside the kernel."""
+    sgn = jnp.where(x >= 0.0, 1.0, -1.0)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sgn * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _ln(x32, scale, bias, eps=1e-5):
+    """fp32 LayerNorm over the minor axis (torch eps)."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _block_kernel(
+    x_ref,
+    ln1_s_ref,
+    ln1_b_ref,
+    wqkv_ref,
+    bqkv_ref,
+    bias_ref,
+    wproj_ref,
+    bproj_ref,
+    ln2_s_ref,
+    ln2_b_ref,
+    w1_ref,
+    b1_ref,
+    w2_ref,
+    b2_ref,
+    o_ref,
+    *,
+    num_heads: int,
+    window_tokens: int,
+    block_windows: int,
+):
+    N = window_tokens
+    BW = block_windows
+    R = BW * N
+    C = x_ref.shape[-1]
+    nH = num_heads
+    hd = C // nH
+    scale = hd**-0.5
+    cdt = x_ref.dtype  # compute dtype for MXU operands (bf16 in serving)
+
+    x32 = x_ref[:].astype(jnp.float32)  # [R, C] residual trunk
+
+    # ---- LN1 -> qkv ----
+    y = _ln(x32, ln1_s_ref[:], ln1_b_ref[:])
+    qkv = jnp.dot(y.astype(cdt), wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[:]  # [R, 3C] fp32
+
+    # ---- per-window MSA, heads unrolled, hd in <=16 chunks ----
+    # Each head-chunk's output is folded straight into the out-projection
+    # (proj += oh_chunk @ wproj[rows]) so no [R, C] attention output or
+    # per-head padded buffers stay live — the VMEM peak is one head's
+    # transient score/value tensors, reused across iterations.
+    proj = None
+    for h in range(nH):
+        # scores[w, n, m] = scale * sum_d q[w,n,d] k[w,m,d], accumulated over
+        # hd16 chunks; every reshape below is on fp32 arrays.
+        attn = None
+        for d0 in range(0, hd, _HD_CHUNK):
+            dw = min(_HD_CHUNK, hd - d0)
+            qh = qkv[:, h * hd + d0 : h * hd + d0 + dw].reshape(BW, N, dw)
+            kh = qkv[:, C + h * hd + d0 : C + h * hd + d0 + dw].reshape(BW, N, dw)
+            part = jax.lax.dot_general(
+                qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )  # [BW, N, N]
+            attn = part if attn is None else attn + part
+        attn = attn * scale + bias_ref[h][None]
+        attn = jax.nn.softmax(attn, axis=-1)  # fp32
+
+        for d0 in range(0, hd, _HD_CHUNK):
+            dw = min(_HD_CHUNK, hd - d0)
+            vh = qkv[:, 2 * C + h * hd + d0 : 2 * C + h * hd + d0 + dw].reshape(BW, N, dw)
+            oh = jax.lax.dot_general(
+                attn, vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )  # [BW, N, dw]
+            part = jnp.dot(
+                oh.reshape(R, dw).astype(cdt),
+                wproj_ref[h * hd + d0 : h * hd + d0 + dw, :],
+                preferred_element_type=jnp.float32,
+            )  # [R, C]
+            proj = part if proj is None else proj + part
+
+    # ---- residual ----
+    x32 = x32 + proj + bproj_ref[:]
+
+    # ---- LN2 -> MLP -> residual ----
+    y2 = _ln(x32, ln2_s_ref[:], ln2_b_ref[:])
+    hmid = jnp.dot(y2.astype(cdt), w1_ref[:], preferred_element_type=jnp.float32)
+    hmid = hmid + b1_ref[:]
+    # torch-exact erf GELU (see _erf32)
+    hmid = 0.5 * hmid * (1.0 + _erf32(hmid * jnp.float32(0.7071067811865476)))
+    mlp = jnp.dot(hmid.astype(cdt), w2_ref[:], preferred_element_type=jnp.float32)
+    x32 = x32 + mlp + b2_ref[:]
+
+    o_ref[:] = x32.astype(o_ref.dtype)
+
+
+def _pick_block_windows(C: int, N: int, mlp_hidden: int) -> int:
+    """Windows per grid step, sized so the scoped-VMEM peak (x32 + qkv +
+    proj accum + MLP hidden, all fp32 lane-padded to 128, plus per-head
+    transients and bf16 I/O double buffers) stays well under the 16 MB
+    scoped limit."""
+
+    def pad(c):
+        return max(128, -(-c // 128) * 128)
+
+    for bw in (256, 128, 64, 32, 16, 8):
+        rows = bw * N
+        live = 4 * rows * (2 * pad(C) + pad(3 * C) + pad(mlp_hidden))
+        live += 4 * bw * 32 * 128 * 4  # per-head q/k/v/score transients
+        live += 2 * rows * pad(C) * 4  # bf16 in/out double buffers
+        if live <= 7 * 1024 * 1024:
+            return bw
+    return 4
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "window_tokens", "block_windows", "interpret"),
+)
+def fused_swin_block(
+    x,
+    ln1_s,
+    ln1_b,
+    wqkv,
+    bqkv,
+    rel_bias,
+    wproj,
+    bproj,
+    ln2_s,
+    ln2_b,
+    w1,
+    b1,
+    w2,
+    b2,
+    num_heads: int,
+    window_tokens: int,
+    block_windows: int = 0,
+    interpret: bool = False,
+):
+    """x [Wt*N, C] window tokens -> full Swin block output, one fused kernel.
+
+    Weights arrive in x.dtype (bf16 for serving); LN params, biases and the
+    rel-pos bias table in fp32. `rel_bias` is [nH, N, N] (gathered by the
+    caller; the gather index is static per trace).
+    """
+    Rt, C = x.shape
+    N = window_tokens
+    Wt = Rt // N
+    BW = block_windows or _pick_block_windows(C, N, w1.shape[1])
+    BW = min(BW, max(1, Wt))
+    pad = (-Wt) % BW
+    if pad:
+        x = jnp.pad(x, ((0, pad * N), (0, 0)))
+    Wp = Wt + pad
+
+    nH = num_heads
+    kernel = functools.partial(
+        _block_kernel, num_heads=nH, window_tokens=N, block_windows=BW
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    R = BW * N
+    mlp_hidden = w1.shape[1]
+
+    flops_per_row = 2 * C * 3 * C + 2 * 2 * N * C + 2 * C * C + 2 * 2 * C * mlp_hidden
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Wp * N, C), x.dtype),
+        grid=(Wp // BW,),
+        in_specs=[
+            pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full((C,)),
+            full((C,)),
+            full((C, 3 * C)),
+            full((3 * C,)),
+            full((nH, N, N)),
+            full((C, C)),
+            full((C,)),
+            full((C,)),
+            full((C,)),
+            full((C, mlp_hidden)),
+            full((mlp_hidden,)),
+            full((mlp_hidden, C)),
+            full((C,)),
+        ],
+        out_specs=pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        # the input block is dead after the kernel (the block's output replaces
+        # it in the layer chain) — aliasing halves the padded HBM footprint
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=Wp * N * flops_per_row,
+            bytes_accessed=2 * Wp * N * C * x.dtype.itemsize,
+            transcendentals=Wp * (nH * N * N + N * mlp_hidden),
+        ),
+        interpret=interpret,
+    )(x, ln1_s, ln1_b, wqkv, bqkv, rel_bias, wproj, bproj, ln2_s, ln2_b, w1, b1, w2, b2)
+
+    if pad:
+        out = out[: Rt]
+    return out
+
+
+def swin_block_reference(
+    x, ln1_s, ln1_b, wqkv, bqkv, rel_bias, wproj, bproj, ln2_s, ln2_b, w1, b1, w2, b2,
+    num_heads: int, window_tokens: int,
+):
+    """Plain-XLA fp32 reference of the fused block (same math, same
+    precision choices) for kernel validation."""
+    N = window_tokens
+    Rt, C = x.shape
+    Wt = Rt // N
+    nH = num_heads
+    hd = C // nH
+
+    x32 = x.astype(jnp.float32)
+    y = _ln(x32, ln1_s, ln1_b)
+    qkv = y @ wqkv.astype(jnp.float32) + bqkv
+    q = qkv[:, :C].reshape(Wt, N, nH, hd).transpose(0, 2, 1, 3)
+    k = qkv[:, C : 2 * C].reshape(Wt, N, nH, hd).transpose(0, 2, 1, 3)
+    v = qkv[:, 2 * C :].reshape(Wt, N, nH, hd).transpose(0, 2, 1, 3)
+    attn = jnp.einsum("whnd,whmd->whnm", q, k) * (hd**-0.5) + rel_bias[None]
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("whnm,whmd->whnd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(Rt, C)
+    x32 = x32 + out @ wproj.astype(jnp.float32) + bproj
+    y2 = _ln(x32, ln2_s, ln2_b)
+    hmid = jax.nn.gelu(y2 @ w1.astype(jnp.float32) + b1, approximate=False)
+    x32 = x32 + hmid @ w2.astype(jnp.float32) + b2
+    return x32.astype(x.dtype)

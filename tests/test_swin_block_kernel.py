@@ -1,0 +1,151 @@
+"""Fused whole-Swin-block Pallas kernel (ops/pallas/swin_block.py).
+
+Validates, in interpret mode on the CPU test backend:
+* kernel output vs the fp32 XLA reference at every (C, nH) signature the
+  pipeline instantiates — including the hd=32 decoder heads that round 1's
+  window-MSA kernel could not compile;
+* bf16 kernel error vs fp32 truth is bounded by the XLA bf16 serving path's
+  own quantization error (same cast points — the fair yardstick);
+* model-level routing: BasicLayer(use_pallas=True) matches the unfused
+  layer and declares a byte-identical checkpoint tree.
+
+Reference block semantics: SwinWNet.py:211-280 (shift 0, SwinWNet.py:328).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from swinwnet_tpu.models.layers import BasicLayer
+from swinwnet_tpu.ops.pallas.swin_block import fused_swin_block, swin_block_reference
+
+N = 25  # window_size 5
+
+
+def _make_args(rng, C, nH, dt):
+    A = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.05, jnp.float32)
+    args = dict(
+        ln1_s=jnp.asarray(rng.uniform(0.5, 1.5, C), jnp.float32),
+        ln1_b=A(C),
+        wqkv=A(C, 3 * C),
+        bqkv=A(3 * C),
+        rel_bias=A(nH, N, N),
+        wproj=A(C, C),
+        bproj=A(C),
+        ln2_s=jnp.asarray(rng.uniform(0.5, 1.5, C), jnp.float32),
+        ln2_b=A(C),
+        w1=A(C, 4 * C),
+        b1=A(4 * C),
+        w2=A(4 * C, C),
+        b2=A(C),
+    )
+    if dt != jnp.float32:
+        for k in ("wqkv", "wproj", "w1", "w2"):
+            args[k] = args[k].astype(dt)
+    return args
+
+
+# every (C, nH) signature the flagship pipeline instantiates:
+# encoder 48/3 96/6 192/12 384/24 (hd16), decoder 384/12 192/6 96/3 (hd32),
+# SR head 24/3 12/3 (hd8/hd4)
+SIGNATURES = [(48, 3), (96, 6), (192, 12), (384, 24), (384, 12), (192, 6), (96, 3), (24, 3), (12, 3)]
+
+
+@pytest.mark.parametrize("C,nH", SIGNATURES)
+def test_fp32_matches_reference(C, nH):
+    rng = np.random.default_rng(C * 31 + nH)
+    Wt = 20
+    x = jnp.asarray(rng.standard_normal((Wt * N, C)), jnp.float32)
+    args = _make_args(rng, C, nH, jnp.float32)
+    out = fused_swin_block(
+        x, *args.values(), num_heads=nH, window_tokens=N, block_windows=8, interpret=True
+    )
+    ref = swin_block_reference(x, *args.values(), num_heads=nH, window_tokens=N)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=5e-3 * float(jnp.abs(ref).max())
+    )
+
+
+def test_block_padding_path():
+    """Wt not divisible by block_windows exercises the pad/trim path."""
+    rng = np.random.default_rng(7)
+    C, nH, Wt = 48, 3, 13
+    x = jnp.asarray(rng.standard_normal((Wt * N, C)), jnp.float32)
+    args = _make_args(rng, C, nH, jnp.float32)
+    out = fused_swin_block(
+        x, *args.values(), num_heads=nH, window_tokens=N, block_windows=8, interpret=True
+    )
+    ref = swin_block_reference(x, *args.values(), num_heads=nH, window_tokens=N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=2e-4)
+
+
+@pytest.mark.parametrize("C,nH", [(48, 3), (384, 12)])
+def test_bf16_error_bounded_by_serving_path(C, nH):
+    """bf16 kernel deviation from fp32 truth must be of the same order as the
+    XLA bf16 serving path's deviation (identical quantization points)."""
+    rng = np.random.default_rng(C)
+    Wt = 16
+    xf = jnp.asarray(rng.standard_normal((Wt * N, C)), jnp.float32)
+    args32 = _make_args(rng, C, nH, jnp.float32)
+    ref32 = np.asarray(
+        swin_block_reference(xf, *args32.values(), num_heads=nH, window_tokens=N), np.float32
+    )
+
+    args_bf = dict(args32)
+    for k in ("wqkv", "wproj", "w1", "w2"):
+        args_bf[k] = args_bf[k].astype(jnp.bfloat16)
+    ker = np.asarray(
+        fused_swin_block(
+            xf.astype(jnp.bfloat16),
+            *args_bf.values(),
+            num_heads=nH,
+            window_tokens=N,
+            block_windows=8,
+            interpret=True,
+        ),
+        np.float32,
+    )
+    err = np.abs(ker - ref32).max()
+    scale = np.abs(ref32).max()
+    assert err < 0.05 * scale + 0.05, (err, scale)
+
+
+def test_model_routing_matches_unfused():
+    """BasicLayer(use_pallas=True) must produce the unfused layer's output
+    and an identical param tree (checkpoint compatibility)."""
+    os.environ["SWINWNET_FUSED_INTERPRET"] = "1"
+    try:
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 25, 30, 48)), jnp.float32)
+        m0 = BasicLayer(dim=48, depth=2, num_heads=3, window_size=5, use_pallas=False)
+        m1 = BasicLayer(dim=48, depth=2, num_heads=3, window_size=5, use_pallas=True)
+        v0 = m0.init(jax.random.PRNGKey(0), x)
+        v1 = m1.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+        for p0, p1 in zip(jax.tree_util.tree_leaves(v0), jax.tree_util.tree_leaves(v1)):
+            np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        y0 = np.asarray(m0.apply(v0, x))
+        y1 = np.asarray(m1.apply(v0, x))
+        np.testing.assert_allclose(y0, y1, rtol=0, atol=5e-5)
+    finally:
+        del os.environ["SWINWNET_FUSED_INTERPRET"]
+
+
+def test_padded_grid_falls_back():
+    """A grid that doesn't tile by the window must NOT take the fused path
+    (pad re-zeroing is unfused-only) yet still match the unfused output."""
+    os.environ["SWINWNET_FUSED_INTERPRET"] = "1"
+    try:
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 23, 31, 48)), jnp.float32)
+        m0 = BasicLayer(dim=48, depth=1, num_heads=3, window_size=5, use_pallas=False)
+        m1 = BasicLayer(dim=48, depth=1, num_heads=3, window_size=5, use_pallas=True)
+        v = m0.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(m0.apply(v, x)), np.asarray(m1.apply(v, x)), rtol=0, atol=1e-6
+        )
+    finally:
+        del os.environ["SWINWNET_FUSED_INTERPRET"]
