@@ -30,7 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.window import compute_mask, window_partition, window_reverse
+from ..ops.window import (
+    compute_mask,
+    window_partition,
+    window_partition_nmajor,
+    window_reverse,
+    window_reverse_nmajor,
+)
 from ..ops.resize import bilinear_resize
 
 # ---------------------------------------------------------------------------
@@ -479,6 +485,7 @@ class SwinTransformerBlock(nn.Module):
     use_pallas: bool = False
     attn_chunk: int = 0
     windowed: bool = False
+    nmajor: bool = False  # windowed input is [N, B*nW, C] -> wide-lane kernel
     grid_hw: Optional[Tuple[int, int]] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -486,27 +493,14 @@ class SwinTransformerBlock(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         if self.windowed:
             assert self.shift_size == 0, "windowed layout requires shift_size=0"
-            pad_mask0 = _window_pad_mask_np(*self.grid_hw, self.window_size)
-            # The Pallas call's operand layout constraint tiles [R, C] to the
-            # (8/16, 128) layout, so HBM I/O is inflated 128/C-fold. At the
-            # SR-head levels (C=12/24, the largest token counts) that inflation
-            # OOMs HBM at serving batch sizes — those levels stay on the XLA
-            # bcast path; C >= 48 pays <= 2.7x on far smaller grids.
-            fuse = (
-                self.use_pallas
-                and self.dim >= _FUSE_MIN_DIM
-                and pad_mask0 is None
-                and deterministic
-                and (
-                    jax.default_backend() == "tpu"
-                    or bool(os.environ.get("SWINWNET_FUSED_INTERPRET"))
-                )
-            )
-            if fuse:
-                return self._fused_windowed(x)
+            if self.nmajor:
+                # BasicLayer decided the whole stack fuses (see its
+                # `fuse_stack` gate) and partitioned token-slot-major; the
+                # entire block is one wide-lane Pallas kernel call.
+                return self._fused_windowed(x, wide=True)
             shortcut = x
             x = LayerNorm(dtype=self.dtype, name="norm1")(x)
-            pad_mask = pad_mask0
+            pad_mask = _window_pad_mask_np(*self.grid_hw, self.window_size)
             if pad_mask is not None:
                 nW = pad_mask.shape[0]
                 x = (
@@ -571,13 +565,18 @@ class SwinTransformerBlock(nn.Module):
         y = nn.Dropout(self.drop_path, deterministic=deterministic)(y)
         return x + y
 
-    def _fused_windowed(self, x):
+    def _fused_windowed(self, x, wide: bool = False):
         """Route the whole block through the fused Pallas kernel
         (ops/pallas/swin_block.py): one HBM read + one write per block
         instead of ~10 materialized intermediates. Param tree is identical
         to the unfused path (checkpoint compatible). Serving only:
-        deterministic, shift 0, exactly-tiling grid."""
-        from ..ops.pallas.swin_block import fused_swin_block
+        deterministic, shift 0, exactly-tiling grid.
+
+        `wide=False`: x is [B*nW, N, C] window-major; row-major kernel.
+        `wide=True`: x is [N, B*nW, C] token-slot-major (BasicLayer
+        partitioned with window_partition_nmajor); wide-lane kernel — the
+        attention core runs with windows in the 128-lane axis."""
+        from ..ops.pallas.swin_block import fused_swin_block, fused_swin_block_wide
 
         C = self.dim
         N = self.window_size * self.window_size
@@ -599,21 +598,31 @@ class SwinTransformerBlock(nn.Module):
             qkv_b = jnp.zeros((3 * C,), jnp.float32)
 
         interp = jax.default_backend() != "tpu"
+        weights = dict(
+            ln1_s=s1,
+            ln1_b=b1,
+            wqkv=qkv_k.astype(self.dtype),
+            bqkv=qkv_b.astype(jnp.float32),
+            rel_bias=rel_bias.astype(jnp.float32),
+            wproj=proj_k.astype(self.dtype),
+            bproj=proj_b.astype(jnp.float32),
+            ln2_s=s2,
+            ln2_b=b2,
+            w1=k1.astype(self.dtype),
+            b1=bb1.astype(jnp.float32),
+            w2=k2.astype(self.dtype),
+            b2=bb2.astype(jnp.float32),
+        )
+        if wide:
+            return fused_swin_block_wide(
+                x.astype(self.dtype),
+                *weights.values(),
+                num_heads=self.num_heads,
+                interpret=interp,
+            )
         out = fused_swin_block(
             x.reshape(-1, C).astype(self.dtype),
-            s1,
-            b1,
-            qkv_k.astype(self.dtype),
-            qkv_b.astype(jnp.float32),
-            rel_bias.astype(jnp.float32),
-            proj_k.astype(self.dtype),
-            proj_b.astype(jnp.float32),
-            s2,
-            b2,
-            k1.astype(self.dtype),
-            bb1.astype(jnp.float32),
-            k2.astype(self.dtype),
-            bb2.astype(jnp.float32),
+            *weights.values(),
             num_heads=self.num_heads,
             window_tokens=N,
             interpret=interp,
@@ -659,10 +668,26 @@ class BasicLayer(nn.Module):
             else SwinTransformerBlock
         )
         windowed = self.shift_size == 0
+        fuse_stack = False
         if windowed:
             B, H, W, C = x.shape
             grid_hw = (H, W)
-            x, (Hp, Wp) = window_partition(x, self.window_size)
+            # Whole-stack fused-kernel gate. The Pallas operand layout tiles
+            # the C (lane) axis to 128, so HBM I/O inflates 128/C-fold: the
+            # SR-head levels (C=12/24, the largest token grids) stay on the
+            # XLA bcast path; C >= 48 pays <= 2.7x on far smaller grids.
+            fuse_stack = (
+                self.use_pallas
+                and deterministic
+                and self.dim >= _FUSE_MIN_DIM
+                and _window_pad_mask_np(H, W, self.window_size) is None
+                and (
+                    jax.default_backend() == "tpu"
+                    or bool(os.environ.get("SWINWNET_FUSED_INTERPRET"))
+                )
+            )
+            part = window_partition_nmajor if fuse_stack else window_partition
+            x, (Hp, Wp) = part(x, self.window_size)
         for i in range(self.depth):
             x = block_cls(
                 dim=self.dim,
@@ -677,12 +702,14 @@ class BasicLayer(nn.Module):
                 use_pallas=self.use_pallas,
                 attn_chunk=self.attn_chunk,
                 windowed=windowed,
+                nmajor=fuse_stack,
                 grid_hw=grid_hw if windowed else None,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, deterministic)
         if windowed:
-            x = window_reverse(x, self.window_size, Hp, Wp)
+            rev = window_reverse_nmajor if fuse_stack else window_reverse
+            x = rev(x, self.window_size, Hp, Wp)
             if Hp != H or Wp != W:
                 x = x[:, :H, :W, :]
         return x

@@ -261,6 +261,176 @@ def fused_swin_block(
     return out
 
 
+def _block_kernel_wide(
+    x_ref,
+    ln1_s_ref,
+    ln1_b_ref,
+    wqkv_ref,
+    bqkv_ref,
+    bias_ref,
+    wproj_ref,
+    bproj_ref,
+    ln2_s_ref,
+    ln2_b_ref,
+    w1_ref,
+    b1_ref,
+    w2_ref,
+    b2_ref,
+    o_ref,
+    *,
+    num_heads: int,
+    score_chunk: int,
+):
+    """Wide-lane variant: x block is [N, BW, C] token-slot-major, so the
+    attention core runs with the WINDOW axis in the 128-lane dimension —
+    full VPU occupancy instead of hd/128 (~12% for hd=16). The only
+    transposes are supported last-two-dim swaps of small fp32 arrays
+    ([N, BW, dw] <-> [N, dw, BW]); [N, BW, C] <-> [N*BW, C] merges are
+    layout-free because BW is a sublane-tile multiple."""
+    N, BW, C = x_ref.shape
+    R = N * BW
+    nH = num_heads
+    hd = C // nH
+    scale = hd**-0.5
+    cdt = x_ref.dtype
+
+    x32 = x_ref[:].reshape(R, C).astype(jnp.float32)  # rows are n-major
+
+    y = _ln(x32, ln1_s_ref[:], ln1_b_ref[:])
+    qkv = jnp.dot(y.astype(cdt), wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:]).astype(cdt)  # [R, 3C] compute-dtype (VMEM economy)
+
+    proj = None
+    for h in range(nH):
+        # ---- scores [N, N, BW]: accumulate over dw-wide head chunks ----
+        attn = None
+        for d0 in range(0, hd, score_chunk):
+            dw = min(score_chunk, hd - d0)
+            qh = qkv[:, h * hd + d0 : h * hd + d0 + dw].astype(jnp.float32)
+            kh = qkv[:, C + h * hd + d0 : C + h * hd + d0 + dw].astype(jnp.float32)
+            qt = jnp.swapaxes(qh.reshape(N, BW, dw), 1, 2)  # [N, dw, BW]
+            kt = jnp.swapaxes(kh.reshape(N, BW, dw), 1, 2)
+            part = jnp.sum(qt[:, None] * kt[None, :], axis=2)  # [N, N, BW]
+            attn = part if attn is None else attn + part
+        attn = attn * scale + bias_ref[h][:, :, None]
+        # softmax over the key axis (axis 1) — a sublane reduction
+        attn = attn - jnp.max(attn, axis=1, keepdims=True)
+        attn = jnp.exp(attn)
+        attn = attn / jnp.sum(attn, axis=1, keepdims=True)
+
+        # ---- values: out[n, d, w] = sum_m attn[m?]  ----
+        for d0 in range(0, hd, score_chunk):
+            dw = min(score_chunk, hd - d0)
+            vh = qkv[:, 2 * C + h * hd + d0 : 2 * C + h * hd + d0 + dw].astype(jnp.float32)
+            vt = jnp.swapaxes(vh.reshape(N, BW, dw), 1, 2)  # [N(m), dw, BW]
+            oh = jnp.sum(attn[:, :, None, :] * vt[None, :, :, :], axis=1)  # [N, dw, BW]
+            oh = jnp.swapaxes(oh, 1, 2).reshape(R, dw)  # n-major rows
+            part = jnp.dot(
+                oh.astype(cdt),
+                wproj_ref[h * hd + d0 : h * hd + d0 + dw, :],
+                preferred_element_type=jnp.float32,
+            )
+            proj = part if proj is None else proj + part
+
+    x32 = x32 + proj + bproj_ref[:]
+
+    y2 = _ln(x32, ln2_s_ref[:], ln2_b_ref[:])
+    hmid = jnp.dot(y2.astype(cdt), w1_ref[:], preferred_element_type=jnp.float32)
+    hmid = hmid + b1_ref[:]
+    hmid = 0.5 * hmid * (1.0 + _erf32(hmid * jnp.float32(0.7071067811865476)))
+    mlp = jnp.dot(hmid.astype(cdt), w2_ref[:], preferred_element_type=jnp.float32)
+    x32 = x32 + mlp + b2_ref[:]
+
+    o_ref[:] = x32.reshape(N, BW, C).astype(o_ref.dtype)
+
+
+def _pick_block_windows_wide(C: int) -> int:
+    """BW for the wide-lane kernel: 128 lanes when VMEM allows; the fp32
+    hidden/qkv buffers force smaller blocks as C grows (deep levels have few
+    windows and are matmul-dominated, so narrower lanes cost little there)."""
+    if C <= 96:
+        return 128
+    if C <= 192:
+        return 64
+    return 32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "block_windows", "score_chunk", "interpret"),
+)
+def fused_swin_block_wide(
+    x,
+    ln1_s,
+    ln1_b,
+    wqkv,
+    bqkv,
+    rel_bias,
+    wproj,
+    bproj,
+    ln2_s,
+    ln2_b,
+    w1,
+    b1,
+    w2,
+    b2,
+    num_heads: int,
+    block_windows: int = 0,
+    score_chunk: int = 8,
+    interpret: bool = False,
+):
+    """x [N, Wt, C] (token-slot-major windows, see
+    ops/window.py:window_partition_nmajor) -> full Swin block, wide-lane
+    fused kernel. Weight/bias conventions as `fused_swin_block`."""
+    N, Wt, C = x.shape
+    BW = block_windows or _pick_block_windows_wide(C)
+    BW = min(BW, max(8, Wt))
+    pad = (-Wt) % BW
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    Wp = Wt + pad
+
+    nH = num_heads
+    kernel = functools.partial(_block_kernel_wide, num_heads=nH, score_chunk=score_chunk)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    mlp_hidden = w1.shape[1]
+
+    flops_per_row = 2 * C * 3 * C + 2 * 2 * N * C + 2 * C * C + 2 * 2 * C * mlp_hidden
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, Wp, C), x.dtype),
+        grid=(Wp // BW,),
+        in_specs=[
+            pl.BlockSpec((N, BW, C), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            full((C,)),
+            full((C,)),
+            full((C, 3 * C)),
+            full((3 * C,)),
+            full((nH, N, N)),
+            full((C, C)),
+            full((C,)),
+            full((C,)),
+            full((C,)),
+            full((C, mlp_hidden)),
+            full((mlp_hidden,)),
+            full((mlp_hidden, C)),
+            full((C,)),
+        ],
+        out_specs=pl.BlockSpec((N, BW, C), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=Wp * N * flops_per_row,
+            bytes_accessed=2 * Wp * N * C * x.dtype.itemsize,
+            transcendentals=Wp * (nH * N * N + N * mlp_hidden),
+        ),
+        interpret=interpret,
+    )(x, ln1_s, ln1_b, wqkv, bqkv, rel_bias, wproj, bproj, ln2_s, ln2_b, w1, b1, w2, b2)
+
+    if pad:
+        out = out[:, :Wt]
+    return out
+
+
 def swin_block_reference(
     x, ln1_s, ln1_b, wqkv, bqkv, rel_bias, wproj, bproj, ln2_s, ln2_b, w1, b1, w2, b2,
     num_heads: int, window_tokens: int,

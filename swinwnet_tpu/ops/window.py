@@ -50,6 +50,35 @@ def window_reverse(windows: jnp.ndarray, window_size: int, Hp: int, Wp: int) -> 
     return x
 
 
+def window_partition_nmajor(x: jnp.ndarray, window_size: int):
+    """[B, H, W, C] -> ([ws*ws, B * nW, C], (Hp, Wp)): token-slot-major
+    window layout for the wide-lane fused block kernel, which wants the
+    *window* axis in the lane dimension (ops/pallas/swin_block.py). Same
+    relayout cost class as `window_partition` — one transpose per layer."""
+    B, H, W, C = x.shape
+    ws = window_size
+    pad_h = (ws - H % ws) % ws
+    pad_w = (ws - W % ws) % ws
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
+    x = x.transpose(2, 4, 0, 1, 3, 5).reshape(ws * ws, -1, C)
+    return x, (Hp, Wp)
+
+
+def window_reverse_nmajor(windows: jnp.ndarray, window_size: int, Hp: int, Wp: int) -> jnp.ndarray:
+    """[ws*ws, B * nW, C] -> [B, Hp, Wp, C] (inverse of
+    `window_partition_nmajor`)."""
+    ws = window_size
+    nW = (Hp // ws) * (Wp // ws)
+    B = windows.shape[1] // nW
+    C = windows.shape[-1]
+    x = windows.reshape(ws, ws, B, Hp // ws, Wp // ws, C)
+    x = x.transpose(2, 3, 0, 4, 1, 5).reshape(B, Hp, Wp, C)
+    return x
+
+
 @functools.lru_cache(maxsize=64)
 def _compute_mask_np(H: int, W: int, window_size: int, shift_size: int) -> np.ndarray:
     ws = window_size

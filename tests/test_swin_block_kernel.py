@@ -20,7 +20,11 @@ import jax.numpy as jnp
 import pytest
 
 from swinwnet_tpu.models.layers import BasicLayer
-from swinwnet_tpu.ops.pallas.swin_block import fused_swin_block, swin_block_reference
+from swinwnet_tpu.ops.pallas.swin_block import (
+    fused_swin_block,
+    fused_swin_block_wide,
+    swin_block_reference,
+)
 
 N = 25  # window_size 5
 
@@ -111,6 +115,40 @@ def test_bf16_error_bounded_by_serving_path(C, nH):
     err = np.abs(ker - ref32).max()
     scale = np.abs(ref32).max()
     assert err < 0.05 * scale + 0.05, (err, scale)
+
+
+@pytest.mark.parametrize("C,nH", SIGNATURES)
+def test_wide_fp32_matches_reference(C, nH):
+    """Wide-lane variant (windows in the lane axis, token-slot-major I/O —
+    the layout BasicLayer's fused stack actually uses)."""
+    rng = np.random.default_rng(C * 17 + nH)
+    Wt = 20
+    x2 = jnp.asarray(rng.standard_normal((Wt * N, C)), jnp.float32)
+    args = _make_args(rng, C, nH, jnp.float32)
+    ref = swin_block_reference(x2, *args.values(), num_heads=nH, window_tokens=N)
+    x3 = jnp.transpose(x2.reshape(Wt, N, C), (1, 0, 2))
+    out = fused_swin_block_wide(
+        x3, *args.values(), num_heads=nH, block_windows=8, interpret=True
+    )
+    out2 = jnp.transpose(out, (1, 0, 2)).reshape(Wt * N, C)
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(ref), rtol=0, atol=5e-3 * float(jnp.abs(ref).max())
+    )
+
+
+def test_wide_uneven_window_count():
+    """Wt not divisible by block_windows pads/trims along the window axis."""
+    rng = np.random.default_rng(3)
+    C, nH, Wt = 48, 3, 37
+    x2 = jnp.asarray(rng.standard_normal((Wt * N, C)), jnp.float32)
+    args = _make_args(rng, C, nH, jnp.float32)
+    ref = swin_block_reference(x2, *args.values(), num_heads=nH, window_tokens=N)
+    x3 = jnp.transpose(x2.reshape(Wt, N, C), (1, 0, 2))
+    out = fused_swin_block_wide(
+        x3, *args.values(), num_heads=nH, block_windows=16, interpret=True
+    )
+    out2 = jnp.transpose(out, (1, 0, 2)).reshape(Wt * N, C)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), rtol=0, atol=2e-4)
 
 
 def test_model_routing_matches_unfused():
