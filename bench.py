@@ -42,6 +42,10 @@ def main():
     from swinwnet_tpu.pipelines.inference import inference_stages
 
     dtype = jnp.float32 if os.environ.get("SWINWNET_BENCH_DTYPE") == "float32" else jnp.bfloat16
+    # use_pallas routes C>=48 windowed blocks through the fused wide-lane
+    # Swin-block kernel (ops/pallas/swin_block.py); SWINWNET_BENCH_PALLAS=0
+    # benches the pure-XLA bcast path instead.
+    use_pallas = os.environ.get("SWINWNET_BENCH_PALLAS", "0") != "0"
     model = SwinWNet(
         in_chans=1,
         error_matrix=True,
@@ -50,6 +54,7 @@ def main():
         num_heads=(3, 6, 12, 24),
         window_size=5,
         attn_chunk=8192,
+        use_pallas=use_pallas,
         dtype=dtype,
     )
     x = jnp.asarray(
@@ -63,7 +68,14 @@ def main():
         # serialize successive iterations through a data dependency
         return x + 1e-12 * out[:, :, :250, :480].sum().astype(jnp.float32)
 
-    # compile + warmup
+    # compile + warmup; pull XLA's own FLOP count for an MFU figure
+    flops_per_img = None
+    try:
+        cost = step.lower(variables, x).compile().cost_analysis()
+        if cost and cost.get("flops"):
+            flops_per_img = float(cost["flops"]) / BATCH
+    except Exception:  # cost analysis is best-effort on experimental backends
+        pass
     y = step(variables, x)
     _ = float(y.sum())
     y = step(variables, x)
@@ -76,16 +88,21 @@ def main():
     dt = time.perf_counter() - t0
 
     ips = BATCH * ITERS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "swinwnet_full_inference_throughput",
-                "value": round(ips, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(ips / BASELINE_IPS, 3),
-            }
-        )
-    )
+    rec = {
+        "metric": "swinwnet_full_inference_throughput",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_IPS, 3),
+        "batch": BATCH,
+        "dtype": "float32" if dtype == jnp.float32 else "bfloat16",
+        "use_pallas": use_pallas,
+    }
+    if flops_per_img:
+        rec["gflops_per_image"] = round(flops_per_img / 1e9, 1)
+        # v5e bf16 peak ~197 TFLOP/s; fp32 (HIGHEST) ~1/4 of that
+        peak = 197e12 if dtype != jnp.float32 else 49e12
+        rec["mfu_pct"] = round(100.0 * flops_per_img * ips / peak, 2)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -55,6 +55,18 @@ class TestOps:
         back = window_reverse(w, 5, Hp, Wp)
         np.testing.assert_allclose(np.asarray(back[:, :13, :17]), np.asarray(x), rtol=1e-6)
 
+    def test_window_roundtrip_nmajor(self):
+        from swinwnet_tpu.ops.window import window_partition_nmajor, window_reverse_nmajor
+
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 13, 17, 4)), jnp.float32)
+        w, (Hp, Wp) = window_partition_nmajor(x, 5)
+        assert w.shape == (25, 2 * 3 * 4, 4)
+        back = window_reverse_nmajor(w, 5, Hp, Wp)
+        np.testing.assert_allclose(np.asarray(back[:, :13, :17]), np.asarray(x), rtol=1e-6)
+        # same window ordering and token-slot content as the w-major layout
+        wm, _ = window_partition(x, 5)
+        np.testing.assert_array_equal(np.asarray(w.transpose(1, 0, 2)), np.asarray(wm))
+
     def test_compute_mask_shape(self):
         m = compute_mask(10, 10, 5, 2)
         assert m.shape == (4, 25, 25)
