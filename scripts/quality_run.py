@@ -107,10 +107,12 @@ def main():
             num_heads=(3, 6, 12, 24), window_size=5,
         )
     else:
-        # the published checkpoint architecture (config #4)
+        # the published checkpoint architecture (config #4); remat: the
+        # stage-3 joint backward (all three towers at 250x480) exceeds the
+        # 16 GB v5e HBM without per-block rematerialization
         model = SwinWNet(
             in_chans=1, error_matrix=True, embed_dim=48, depths=(2, 2, 2, 2),
-            num_heads=(3, 6, 12, 24), window_size=5, attn_chunk=8192,
+            num_heads=(3, 6, 12, 24), window_size=5, attn_chunk=8192, remat=True,
         )
 
     t_start = time.time()
