@@ -33,8 +33,10 @@ from flax import linen as nn
 from ..ops.window import (
     compute_mask,
     window_partition,
+    window_partition_cmajor,
     window_partition_nmajor,
     window_reverse,
+    window_reverse_cmajor,
     window_reverse_nmajor,
 )
 from ..ops.resize import bilinear_resize
@@ -485,7 +487,9 @@ class SwinTransformerBlock(nn.Module):
     use_pallas: bool = False
     attn_chunk: int = 0
     windowed: bool = False
-    nmajor: bool = False  # windowed input is [N, B*nW, C] -> wide-lane kernel
+    # "" = unfused windowed [B*nW, N, C]; "nmajor" = [N, B*nW, C] wide-lane
+    # kernel; "cmajor" = [C, N, B*nW] channels-major kernel (SR levels)
+    fused_layout: str = ""
     grid_hw: Optional[Tuple[int, int]] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -493,11 +497,11 @@ class SwinTransformerBlock(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         if self.windowed:
             assert self.shift_size == 0, "windowed layout requires shift_size=0"
-            if self.nmajor:
+            if self.fused_layout:
                 # BasicLayer decided the whole stack fuses (see its
-                # `fuse_stack` gate) and partitioned token-slot-major; the
-                # entire block is one wide-lane Pallas kernel call.
-                return self._fused_windowed(x, wide=True)
+                # `fuse_stack` gate) and partitioned accordingly; the entire
+                # block is one fused Pallas kernel call.
+                return self._fused_windowed(x, layout=self.fused_layout)
             shortcut = x
             x = LayerNorm(dtype=self.dtype, name="norm1")(x)
             pad_mask = _window_pad_mask_np(*self.grid_hw, self.window_size)
@@ -565,18 +569,25 @@ class SwinTransformerBlock(nn.Module):
         y = nn.Dropout(self.drop_path, deterministic=deterministic)(y)
         return x + y
 
-    def _fused_windowed(self, x, wide: bool = False):
+    def _fused_windowed(self, x, layout: str = "rowmajor"):
         """Route the whole block through the fused Pallas kernel
         (ops/pallas/swin_block.py): one HBM read + one write per block
         instead of ~10 materialized intermediates. Param tree is identical
         to the unfused path (checkpoint compatible). Serving only:
         deterministic, shift 0, exactly-tiling grid.
 
-        `wide=False`: x is [B*nW, N, C] window-major; row-major kernel.
-        `wide=True`: x is [N, B*nW, C] token-slot-major (BasicLayer
-        partitioned with window_partition_nmajor); wide-lane kernel — the
-        attention core runs with windows in the 128-lane axis."""
-        from ..ops.pallas.swin_block import fused_swin_block, fused_swin_block_wide
+        layout: "rowmajor" — x is [B*nW, N, C]; row-major kernel.
+                "nmajor"   — x is [N, B*nW, C] (window_partition_nmajor);
+                             wide-lane kernel, windows in the lane axis.
+                "cmajor"   — x is [C, N, B*nW] (window_partition_cmajor);
+                             channels-major kernel, uniform ~1.28x HBM
+                             padding — the only fusable layout for the
+                             SR-head C=12/24 levels."""
+        from ..ops.pallas.swin_block import (
+            fused_swin_block,
+            fused_swin_block_cst,
+            fused_swin_block_wide,
+        )
 
         C = self.dim
         N = self.window_size * self.window_size
@@ -613,11 +624,22 @@ class SwinTransformerBlock(nn.Module):
             w2=k2.astype(self.dtype),
             b2=bb2.astype(jnp.float32),
         )
-        if wide:
+        if layout == "nmajor":
             return fused_swin_block_wide(
                 x.astype(self.dtype),
                 *weights.values(),
                 num_heads=self.num_heads,
+                interpret=interp,
+            )
+        if layout == "cmajor":
+            for k in ("wqkv", "wproj", "w1", "w2"):
+                weights[k] = jnp.swapaxes(weights[k], 0, 1)
+            hd = C // self.num_heads
+            return fused_swin_block_cst(
+                x.astype(self.dtype),
+                *weights.values(),
+                num_heads=self.num_heads,
+                score_chunk=min(8, hd),
                 interpret=interp,
             )
         out = fused_swin_block(
@@ -668,25 +690,32 @@ class BasicLayer(nn.Module):
             else SwinTransformerBlock
         )
         windowed = self.shift_size == 0
-        fuse_stack = False
+        fused_layout = ""
         if windowed:
             B, H, W, C = x.shape
             grid_hw = (H, W)
-            # Whole-stack fused-kernel gate. The Pallas operand layout tiles
-            # the C (lane) axis to 128, so HBM I/O inflates 128/C-fold: the
-            # SR-head levels (C=12/24, the largest token grids) stay on the
-            # XLA bcast path; C >= 48 pays <= 2.7x on far smaller grids.
-            fuse_stack = (
+            # Whole-stack fused-kernel gate + layout choice: C >= 48 levels
+            # use the wide-lane kernel on [N, Wt, C] (lane padding <= 2.7x on
+            # small grids); the SR-head C=12/24 levels — the largest token
+            # grids, where a C-minor pallas layout would inflate HBM I/O
+            # 5-11x — use the channels-major kernel on [C, N, Wt] (uniform
+            # ~1.28x padding).
+            fusable = (
                 self.use_pallas
                 and deterministic
-                and self.dim >= _FUSE_MIN_DIM
                 and _window_pad_mask_np(H, W, self.window_size) is None
                 and (
                     jax.default_backend() == "tpu"
                     or bool(os.environ.get("SWINWNET_FUSED_INTERPRET"))
                 )
             )
-            part = window_partition_nmajor if fuse_stack else window_partition
+            if fusable:
+                fused_layout = "nmajor" if self.dim >= _FUSE_MIN_DIM else "cmajor"
+            part = {
+                "nmajor": window_partition_nmajor,
+                "cmajor": window_partition_cmajor,
+                "": window_partition,
+            }[fused_layout]
             x, (Hp, Wp) = part(x, self.window_size)
         for i in range(self.depth):
             x = block_cls(
@@ -702,13 +731,17 @@ class BasicLayer(nn.Module):
                 use_pallas=self.use_pallas,
                 attn_chunk=self.attn_chunk,
                 windowed=windowed,
-                nmajor=fuse_stack,
+                fused_layout=fused_layout,
                 grid_hw=grid_hw if windowed else None,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, deterministic)
         if windowed:
-            rev = window_reverse_nmajor if fuse_stack else window_reverse
+            rev = {
+                "nmajor": window_reverse_nmajor,
+                "cmajor": window_reverse_cmajor,
+                "": window_reverse,
+            }[fused_layout]
             x = rev(x, self.window_size, Hp, Wp)
             if Hp != H or Wp != W:
                 x = x[:, :H, :W, :]

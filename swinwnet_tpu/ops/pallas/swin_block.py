@@ -431,6 +431,190 @@ def fused_swin_block_wide(
     return out
 
 
+def _block_kernel_cst(
+    x_ref,
+    ln1_s_ref,
+    ln1_b_ref,
+    wqkv_ref,
+    bqkv_ref,
+    bias_ref,
+    wproj_ref,
+    bproj_ref,
+    ln2_s_ref,
+    ln2_b_ref,
+    w1_ref,
+    b1_ref,
+    w2_ref,
+    b2_ref,
+    o_ref,
+    *,
+    num_heads: int,
+    score_chunk: int,
+):
+    """Channels-major variant: x block is [C, N, BW] - channels on the MAJOR
+    axis, token slots on sublanes, windows on lanes. Built for the SR-head
+    levels (C=12/24) where any layout with C in lanes inflates HBM I/O
+    5-11x; here HBM padding is a uniform ~1.28x (N=25 -> 32 sublanes) for
+    every C, and the kernel body needs NO transposes or reshapes at all:
+
+    * LN reduces over axis 0 (major);
+    * per-token matmuls are dot_generals contracting the major axis
+      ([Cout, C] . [C, N, BW] -> [Cout, N, BW]);
+    * per-head q/k/v are major-axis slices (always layout-free);
+    * the attention core is the wide-lane broadcast with windows in lanes.
+
+    Weight matrices arrive TRANSPOSED ([out, in]) vs the row-major kernels.
+    """
+    C, N, BW = x_ref.shape
+    nH = num_heads
+    hd = C // nH
+    scale = hd**-0.5
+    cdt = x_ref.dtype
+
+    x32 = x_ref[:].astype(jnp.float32)  # [C, N, BW]
+
+    def ln_t(v, s_ref, b_ref):
+        mean = jnp.mean(v, axis=0, keepdims=True)
+        var = jnp.mean(jnp.square(v - mean), axis=0, keepdims=True)
+        y = (v - mean) * jax.lax.rsqrt(var + 1e-5)
+        return y * s_ref[:][:, None, None] + b_ref[:][:, None, None]
+
+    def mm_t(w, v):
+        """[Cout, Cin] . [Cin, N, BW] -> [Cout, N, BW] (contract major)."""
+        return jax.lax.dot_general(
+            w.astype(cdt), v.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    y = ln_t(x32, ln1_s_ref, ln1_b_ref)
+    qkv = mm_t(wqkv_ref[:], y) + bqkv_ref[:][:, None, None]  # [3C, N, BW] f32
+    qkv = qkv.astype(cdt)
+
+    proj = None  # [C, N, BW] fp32 accumulator
+    for h in range(nH):
+        attn = None
+        for d0 in range(0, hd, score_chunk):
+            dw = min(score_chunk, hd - d0)
+            qt = qkv[h * hd + d0 : h * hd + d0 + dw].astype(jnp.float32)  # [dw, N, BW]
+            kt = qkv[C + h * hd + d0 : C + h * hd + d0 + dw].astype(jnp.float32)
+            part = jnp.sum(qt[:, :, None, :] * kt[:, None, :, :], axis=0)  # [N, N, BW]
+            attn = part if attn is None else attn + part
+        attn = attn * scale + bias_ref[h][:, :, None]
+        attn = attn - jnp.max(attn, axis=1, keepdims=True)
+        attn = jnp.exp(attn)
+        attn = attn / jnp.sum(attn, axis=1, keepdims=True)  # softmax over keys m
+
+        for d0 in range(0, hd, score_chunk):
+            dw = min(score_chunk, hd - d0)
+            vt = qkv[2 * C + h * hd + d0 : 2 * C + h * hd + d0 + dw].astype(jnp.float32)
+            # oh[d, n, w] = sum_m attn[n, m, w] * vt[d, m, w]
+            oh = jnp.sum(attn[None, :, :, :] * vt[:, None, :, :], axis=2)  # [dw, N, BW]
+            part = jax.lax.dot_general(
+                wproj_ref[:, h * hd + d0 : h * hd + d0 + dw].astype(cdt),
+                oh.astype(cdt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [C, N, BW]
+            proj = part if proj is None else proj + part
+
+    x32 = x32 + proj + bproj_ref[:][:, None, None]
+
+    y2 = ln_t(x32, ln2_s_ref, ln2_b_ref)
+    hmid = mm_t(w1_ref[:], y2) + b1_ref[:][:, None, None]  # [H, N, BW]
+    hmid = 0.5 * hmid * (1.0 + _erf32(hmid * jnp.float32(0.7071067811865476)))
+    x32 = x32 + mm_t(w2_ref[:], hmid) + b2_ref[:][:, None, None]
+
+    o_ref[:] = x32.astype(o_ref.dtype)
+
+
+def _pick_block_windows_cst(C: int) -> int:
+    """Lanes per grid step: the [score_chunk, N, N, BW] broadcast product and
+    the [4C, N, BW] fp32 hidden bound VMEM."""
+    if C <= 24:
+        return 256
+    if C <= 48:
+        return 128
+    return 64
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "block_windows", "score_chunk", "interpret"),
+)
+def fused_swin_block_cst(
+    x,
+    ln1_s,
+    ln1_b,
+    wqkv_t,
+    bqkv,
+    rel_bias,
+    wproj_t,
+    bproj,
+    ln2_s,
+    ln2_b,
+    w1_t,
+    b1,
+    w2_t,
+    b2,
+    num_heads: int,
+    block_windows: int = 0,
+    score_chunk: int = 8,
+    interpret: bool = False,
+):
+    """x [C, N, Wt] (channels-major windows, see
+    ops/window.py:window_partition_cmajor) -> full Swin block.
+
+    NOTE: weight matrices arrive transposed ([out_features, in_features]).
+    """
+    C, N, Wt = x.shape
+    nH = num_heads
+    BW = block_windows or _pick_block_windows_cst(C)
+    BW = min(BW, max(8, Wt))
+    pad = (-Wt) % BW
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+    Wp = Wt + pad
+
+    kernel = functools.partial(_block_kernel_cst, num_heads=nH, score_chunk=score_chunk)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    mlp_hidden = w1_t.shape[0]
+
+    flops_per_row = 2 * C * 3 * C + 2 * 2 * N * C + 2 * C * C + 2 * 2 * C * mlp_hidden
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C, N, Wp), x.dtype),
+        grid=(Wp // BW,),
+        in_specs=[
+            pl.BlockSpec((C, N, BW), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            full((C,)),
+            full((C,)),
+            full((3 * C, C)),
+            full((3 * C,)),
+            full((nH, N, N)),
+            full((C, C)),
+            full((C,)),
+            full((C,)),
+            full((C,)),
+            full((mlp_hidden, C)),
+            full((mlp_hidden,)),
+            full((C, mlp_hidden)),
+            full((C,)),
+        ],
+        out_specs=pl.BlockSpec((C, N, BW), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=Wp * N * flops_per_row,
+            bytes_accessed=2 * Wp * N * C * x.dtype.itemsize,
+            transcendentals=Wp * (nH * N * N + N * mlp_hidden),
+        ),
+        interpret=interpret,
+    )(x, ln1_s, ln1_b, wqkv_t, bqkv, rel_bias, wproj_t, bproj, ln2_s, ln2_b, w1_t, b1, w2_t, b2)
+
+    if pad:
+        out = out[:, :, :Wt]
+    return out
+
+
 def swin_block_reference(
     x, ln1_s, ln1_b, wqkv, bqkv, rel_bias, wproj, bproj, ln2_s, ln2_b, w1, b1, w2, b2,
     num_heads: int, window_tokens: int,

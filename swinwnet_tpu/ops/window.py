@@ -79,6 +79,35 @@ def window_reverse_nmajor(windows: jnp.ndarray, window_size: int, Hp: int, Wp: i
     return x
 
 
+def window_partition_cmajor(x: jnp.ndarray, window_size: int):
+    """[B, H, W, C] -> ([C, ws*ws, B * nW], (Hp, Wp)): channels-major window
+    layout for the CST fused block kernel (ops/pallas/swin_block.py), which
+    wants windows on the lane axis and token slots on sublanes — HBM padding
+    is a uniform ~1.28x (25 -> 32 sublanes) regardless of C."""
+    B, H, W, C = x.shape
+    ws = window_size
+    pad_h = (ws - H % ws) % ws
+    pad_w = (ws - W % ws) % ws
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
+    x = x.transpose(5, 2, 4, 0, 1, 3).reshape(C, ws * ws, -1)
+    return x, (Hp, Wp)
+
+
+def window_reverse_cmajor(windows: jnp.ndarray, window_size: int, Hp: int, Wp: int) -> jnp.ndarray:
+    """[C, ws*ws, B * nW] -> [B, Hp, Wp, C] (inverse of
+    `window_partition_cmajor`)."""
+    ws = window_size
+    nW = (Hp // ws) * (Wp // ws)
+    B = windows.shape[2] // nW
+    C = windows.shape[0]
+    x = windows.reshape(C, ws, ws, B, Hp // ws, Wp // ws)
+    x = x.transpose(3, 4, 1, 5, 2, 0).reshape(B, Hp, Wp, C)
+    return x
+
+
 @functools.lru_cache(maxsize=64)
 def _compute_mask_np(H: int, W: int, window_size: int, shift_size: int) -> np.ndarray:
     ws = window_size

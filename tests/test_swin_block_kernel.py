@@ -22,6 +22,7 @@ import pytest
 from swinwnet_tpu.models.layers import BasicLayer
 from swinwnet_tpu.ops.pallas.swin_block import (
     fused_swin_block,
+    fused_swin_block_cst,
     fused_swin_block_wide,
     swin_block_reference,
 )
@@ -149,6 +150,50 @@ def test_wide_uneven_window_count():
     )
     out2 = jnp.transpose(out, (1, 0, 2)).reshape(Wt * N, C)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), rtol=0, atol=2e-4)
+
+
+@pytest.mark.parametrize("C,nH", SIGNATURES)
+def test_cst_fp32_matches_reference(C, nH):
+    """Channels-major variant ([C, N, Wt] I/O, transposed weights — the
+    layout the SR-head levels fuse with)."""
+    rng = np.random.default_rng(C * 13 + nH)
+    Wt = 20
+    x2 = jnp.asarray(rng.standard_normal((Wt * N, C)), jnp.float32)
+    args = _make_args(rng, C, nH, jnp.float32)
+    ref = swin_block_reference(x2, *args.values(), num_heads=nH, window_tokens=N)
+    x3 = jnp.transpose(x2.reshape(Wt, N, C), (2, 1, 0))
+    targs = dict(args)
+    for k in ("wqkv", "wproj", "w1", "w2"):
+        targs[k] = jnp.swapaxes(args[k], 0, 1)
+    out = fused_swin_block_cst(
+        x3,
+        *targs.values(),
+        num_heads=nH,
+        block_windows=8,
+        score_chunk=min(8, C // nH),
+        interpret=True,
+    )
+    out2 = jnp.transpose(out, (2, 1, 0)).reshape(Wt * N, C)
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(ref), rtol=0, atol=5e-3 * float(jnp.abs(ref).max())
+    )
+
+
+def test_sr_level_routing_matches_unfused():
+    """C=12 (SR-head level) routes through the channels-major kernel and
+    matches the unfused layer."""
+    os.environ["SWINWNET_FUSED_INTERPRET"] = "1"
+    try:
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((2, 25, 30, 12)), jnp.float32)
+        m0 = BasicLayer(dim=12, depth=2, num_heads=3, window_size=5, use_pallas=False)
+        m1 = BasicLayer(dim=12, depth=2, num_heads=3, window_size=5, use_pallas=True)
+        v = m0.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(m0.apply(v, x)), np.asarray(m1.apply(v, x)), rtol=0, atol=5e-5
+        )
+    finally:
+        del os.environ["SWINWNET_FUSED_INTERPRET"]
 
 
 def test_model_routing_matches_unfused():
