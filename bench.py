@@ -45,7 +45,7 @@ def main():
     # use_pallas routes C>=48 windowed blocks through the fused wide-lane
     # Swin-block kernel (ops/pallas/swin_block.py); SWINWNET_BENCH_PALLAS=0
     # benches the pure-XLA bcast path instead.
-    use_pallas = os.environ.get("SWINWNET_BENCH_PALLAS", "0") != "0"
+    use_pallas = os.environ.get("SWINWNET_BENCH_PALLAS", "1") != "0"
     model = SwinWNet(
         in_chans=1,
         error_matrix=True,

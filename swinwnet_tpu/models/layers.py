@@ -632,14 +632,23 @@ class SwinTransformerBlock(nn.Module):
                 interpret=interp,
             )
         if layout == "cmajor":
-            for k in ("wqkv", "wproj", "w1", "w2"):
+            for k in ("wqkv", "w1", "w2"):  # wproj stays [in, out] (row slices)
                 weights[k] = jnp.swapaxes(weights[k], 0, 1)
             hd = C // self.num_heads
+            m = _window_pad_mask_np(*self.grid_hw, self.window_size)
+            mask = None
+            if m is not None:  # [nW, N, 1] per sample -> [N, B*nW] c-major
+                nW = m.shape[0]
+                Bv = x.shape[2] // nW
+                mask = jnp.asarray(np.tile(m[:, :, 0].T, (1, Bv)))
             return fused_swin_block_cst(
                 x.astype(self.dtype),
                 *weights.values(),
                 num_heads=self.num_heads,
-                score_chunk=min(8, hd),
+                pad_mask=mask,
+                # sc=4 keeps the unrolled [sc,N,N,BW] product ~1.6MB; the C>=96
+                # fori_loop path needs 8-multiple slice starts
+                score_chunk=min(4, hd) if C <= 48 else 8,
                 interpret=interp,
             )
         out = fused_swin_block(
@@ -700,17 +709,33 @@ class BasicLayer(nn.Module):
             # grids, where a C-minor pallas layout would inflate HBM I/O
             # 5-11x — use the channels-major kernel on [C, N, Wt] (uniform
             # ~1.28x padding).
+            # C > 96 cannot fit the channels-major kernel's buffers under
+            # the 16MB scoped-VMEM limit at the 128-lane minimum legal block
+            # (the C=96 levels fit via the kernel's fori_loop-over-heads
+            # path) -> C >= 192 (few-window, matmul-dominated) levels stay
+            # on the XLA path.
             fusable = (
                 self.use_pallas
                 and deterministic
-                and _window_pad_mask_np(H, W, self.window_size) is None
+                and self.dim <= 96
                 and (
                     jax.default_backend() == "tpu"
                     or bool(os.environ.get("SWINWNET_FUSED_INTERPRET"))
                 )
             )
             if fusable:
-                fused_layout = "nmajor" if self.dim >= _FUSE_MIN_DIM else "cmajor"
+                # channels-major everywhere: its [C, N, Wt] HBM layout pads a
+                # uniform ~1.28x at every width (vs 128/C-fold for any
+                # C-in-lanes layout), the kernel body is transpose-free, and
+                # it supports pad-masked (non-tiling) grids in-kernel.
+                # "nmajor" (wide-lane, [N, Wt, C]) is kept for A/B via env;
+                # it has no mask support, so padded grids fall back.
+                fused_layout = os.environ.get("SWINWNET_FUSED_LAYOUT", "cmajor")
+                if (
+                    fused_layout == "nmajor"
+                    and _window_pad_mask_np(H, W, self.window_size) is not None
+                ):
+                    fused_layout = ""
             part = {
                 "nmajor": window_partition_nmajor,
                 "cmajor": window_partition_cmajor,

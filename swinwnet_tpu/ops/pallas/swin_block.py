@@ -446,10 +446,11 @@ def _block_kernel_cst(
     b1_ref,
     w2_ref,
     b2_ref,
-    o_ref,
-    *,
+    *rest,
     num_heads: int,
     score_chunk: int,
+    has_mask: bool,
+    loop_heads: bool,
 ):
     """Channels-major variant: x block is [C, N, BW] - channels on the MAJOR
     axis, token slots on sublanes, windows on lanes. Built for the SR-head
@@ -463,8 +464,19 @@ def _block_kernel_cst(
     * per-head q/k/v are major-axis slices (always layout-free);
     * the attention core is the wide-lane broadcast with windows in lanes.
 
-    Weight matrices arrive TRANSPOSED ([out, in]) vs the row-major kernels.
+    wqkv/w1/w2 arrive TRANSPOSED ([out, in]) vs the row-major kernels;
+    wproj arrives UNtransposed ([in, out]) so its per-head-chunk row slices
+    are major-axis slices (dynamic-sliceable in the fori_loop path).
+
+    With `has_mask`, an extra [1, N, BW] {0,1} operand zeroes pad token
+    slots post-LN1 — reproducing the reference's pad-after-norm semantics
+    (SwinWNet.py:243-253) for grids that don't tile by the window, exactly
+    as the unfused windowed path does.
     """
+    if has_mask:
+        mask_ref, o_ref, *scratch = rest
+    else:
+        o_ref, *scratch = rest
     C, N, BW = x_ref.shape
     nH = num_heads
     hd = C // nH
@@ -474,10 +486,12 @@ def _block_kernel_cst(
     x32 = x_ref[:].astype(jnp.float32)  # [C, N, BW]
 
     def ln_t(v, s_ref, b_ref):
+        # scale/bias refs arrive pre-shaped [C, 1, 1] (Mosaic cannot shape-
+        # cast vector<C> -> vector<Cx1x1> in-kernel)
         mean = jnp.mean(v, axis=0, keepdims=True)
         var = jnp.mean(jnp.square(v - mean), axis=0, keepdims=True)
         y = (v - mean) * jax.lax.rsqrt(var + 1e-5)
-        return y * s_ref[:][:, None, None] + b_ref[:][:, None, None]
+        return y * s_ref[:] + b_ref[:]
 
     def mm_t(w, v):
         """[Cout, Cin] . [Cin, N, BW] -> [Cout, N, BW] (contract major)."""
@@ -487,54 +501,103 @@ def _block_kernel_cst(
         )
 
     y = ln_t(x32, ln1_s_ref, ln1_b_ref)
-    qkv = mm_t(wqkv_ref[:], y) + bqkv_ref[:][:, None, None]  # [3C, N, BW] f32
+    if has_mask:
+        y = y * mask_ref[:]
+    qkv = mm_t(wqkv_ref[:], y) + bqkv_ref[:]  # [3C, N, BW] f32
     qkv = qkv.astype(cdt)
 
-    proj = None  # [C, N, BW] fp32 accumulator
-    for h in range(nH):
+    def head_attention(h, proj_acc, get_qkv, get_bias, get_wproj):
+        """One head's scores -> softmax -> values, folded into the
+        projection accumulator. The getters abstract static value slicing
+        (unrolled path) vs dynamic `pl.ds` ref slicing (fori_loop path —
+        Mosaic lowers dynamic indexing on REFS, not on values)."""
         attn = None
         for d0 in range(0, hd, score_chunk):
             dw = min(score_chunk, hd - d0)
-            qt = qkv[h * hd + d0 : h * hd + d0 + dw].astype(jnp.float32)  # [dw, N, BW]
-            kt = qkv[C + h * hd + d0 : C + h * hd + d0 + dw].astype(jnp.float32)
+            qt = get_qkv(h * hd + d0, dw).astype(jnp.float32)  # [dw, N, BW]
+            kt = get_qkv(C + h * hd + d0, dw).astype(jnp.float32)
             part = jnp.sum(qt[:, :, None, :] * kt[:, None, :, :], axis=0)  # [N, N, BW]
             attn = part if attn is None else attn + part
-        attn = attn * scale + bias_ref[h][:, :, None]
+        attn = attn * scale + get_bias(h)  # bias is [nH, N, N, 1]
         attn = attn - jnp.max(attn, axis=1, keepdims=True)
         attn = jnp.exp(attn)
         attn = attn / jnp.sum(attn, axis=1, keepdims=True)  # softmax over keys m
 
         for d0 in range(0, hd, score_chunk):
             dw = min(score_chunk, hd - d0)
-            vt = qkv[2 * C + h * hd + d0 : 2 * C + h * hd + d0 + dw].astype(jnp.float32)
+            vt = get_qkv(2 * C + h * hd + d0, dw).astype(jnp.float32)
             # oh[d, n, w] = sum_m attn[n, m, w] * vt[d, m, w]
             oh = jnp.sum(attn[None, :, :, :] * vt[:, None, :, :], axis=2)  # [dw, N, BW]
+            # wproj arrives UNtransposed [C_in, C_out]: row slices are
+            # (sublane-aligned) major-axis slices in both paths
             part = jax.lax.dot_general(
-                wproj_ref[:, h * hd + d0 : h * hd + d0 + dw].astype(cdt),
+                get_wproj(h * hd + d0, dw).astype(cdt),
                 oh.astype(cdt),
-                (((1,), (0,)), ((), ())),
+                (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [C, N, BW]
-            proj = part if proj is None else proj + part
+            proj_acc = part if proj_acc is None else proj_acc + part
+        return proj_acc
 
-    x32 = x32 + proj + bproj_ref[:][:, None, None]
+    if loop_heads:
+        # one head's buffers live at a time: Mosaic's scoped-VMEM stack
+        # grows with static unroll, so wide levels (C >= 96) iterate.
+        # qkv parks in a VMEM scratch ref so the loop can pl.ds-slice it.
+        (qkv_sc,) = scratch
+        qkv_sc[:] = qkv
+        proj = jax.lax.fori_loop(
+            0,
+            nH,
+            lambda h, acc: head_attention(
+                h,
+                acc,
+                # starts are h*hd + d0 with hd and score_chunk both 8-multiples
+                # on this path; pl.multiple_of makes that provable to Mosaic
+                lambda s, z: qkv_sc[pl.ds(pl.multiple_of(s, 8), z)],
+                lambda hh: bias_ref[pl.ds(hh, 1)][0],
+                lambda s, z: wproj_ref[pl.ds(pl.multiple_of(s, 8), z)],
+            ),
+            jnp.zeros((C, N, BW), jnp.float32),
+        )
+    else:
+        proj = None
+        for h in range(nH):
+            proj = head_attention(
+                h,
+                proj,
+                lambda s, z: qkv[s : s + z],
+                lambda hh: bias_ref[hh],
+                lambda s, z: wproj_ref[s : s + z],
+            )
+
+    x32 = x32 + proj + bproj_ref[:]
 
     y2 = ln_t(x32, ln2_s_ref, ln2_b_ref)
-    hmid = mm_t(w1_ref[:], y2) + b1_ref[:][:, None, None]  # [H, N, BW]
-    hmid = 0.5 * hmid * (1.0 + _erf32(hmid * jnp.float32(0.7071067811865476)))
-    x32 = x32 + mm_t(w2_ref[:], hmid) + b2_ref[:][:, None, None]
-
-    o_ref[:] = x32.astype(o_ref.dtype)
+    if 4 * C * N * BW * 4 <= 4 * 1024 * 1024:
+        hmid = mm_t(w1_ref[:], y2) + b1_ref[:]  # [H, N, BW]
+        hmid = 0.5 * hmid * (1.0 + _erf32(hmid * jnp.float32(0.7071067811865476)))
+        x32 = x32 + mm_t(w2_ref[:], hmid) + b2_ref[:]
+        o_ref[:] = x32.astype(o_ref.dtype)
+    else:
+        # MLP is per-token: chunk the token-slot (sublane) axis so the fp32
+        # [4C, n, BW] hidden stays small; each chunk writes its output rows
+        # directly (8-aligned sublane slices; the N=25 tail is a 1-row
+        # masked store).
+        for n0 in range(0, N, 8):
+            nc = min(8, N - n0)
+            hc = mm_t(w1_ref[:], y2[:, n0 : n0 + nc, :]) + b1_ref[:]
+            hc = 0.5 * hc * (1.0 + _erf32(hc * jnp.float32(0.7071067811865476)))
+            xc = x32[:, n0 : n0 + nc, :] + mm_t(w2_ref[:], hc) + b2_ref[:]
+            o_ref[:, n0 : n0 + nc, :] = xc.astype(o_ref.dtype)
 
 
 def _pick_block_windows_cst(C: int) -> int:
-    """Lanes per grid step: the [score_chunk, N, N, BW] broadcast product and
-    the [4C, N, BW] fp32 hidden bound VMEM."""
-    if C <= 24:
-        return 256
-    if C <= 48:
-        return 128
-    return 64
+    """Lanes per grid step. Pallas requires the lane-axis block to be a
+    multiple of 128, so the only lever against the scoped-VMEM limit as C
+    grows is chunking inside the kernel (see the MLP token chunking); above
+    C=96 the buffers cannot fit at any legal BW and the caller keeps those
+    (cheap, few-window) levels on the XLA path."""
+    return 256 if C <= 24 else 128
 
 
 @functools.partial(
@@ -557,6 +620,7 @@ def fused_swin_block_cst(
     w2_t,
     b2,
     num_heads: int,
+    pad_mask=None,
     block_windows: int = 0,
     score_chunk: int = 8,
     interpret: bool = False,
@@ -564,7 +628,12 @@ def fused_swin_block_cst(
     """x [C, N, Wt] (channels-major windows, see
     ops/window.py:window_partition_cmajor) -> full Swin block.
 
-    NOTE: weight matrices arrive transposed ([out_features, in_features]).
+    `pad_mask` [N, Wt] {0,1} marks real (non-pad) token slots for grids
+    that don't tile by the window; None when the grid tiles exactly.
+
+    NOTE: wqkv_t/w1_t/w2_t arrive transposed ([out_features, in_features]);
+    wproj_t is a misnomer kept for positional symmetry — pass wproj
+    UNtransposed ([in_features, out_features]).
     """
     C, N, Wt = x.shape
     nH = num_heads
@@ -573,42 +642,67 @@ def fused_swin_block_cst(
     pad = (-Wt) % BW
     if pad:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+        if pad_mask is not None:
+            pad_mask = jnp.pad(pad_mask, ((0, 0), (0, pad)))
     Wp = Wt + pad
 
-    kernel = functools.partial(_block_kernel_cst, num_heads=nH, score_chunk=score_chunk)
+    loop_heads = C >= 96
+    kernel = functools.partial(
+        _block_kernel_cst,
+        num_heads=nH,
+        score_chunk=score_chunk,
+        has_mask=pad_mask is not None,
+        loop_heads=loop_heads,
+    )
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     mlp_hidden = w1_t.shape[0]
+
+    # Mosaic cannot shape-cast vector<C> -> vector<Cx1x1> inside the kernel:
+    # every broadcast operand is pre-shaped here.
+    col = lambda v: v.reshape(v.shape[0], 1, 1)
+    ln1_s, ln1_b, bqkv, bproj = col(ln1_s), col(ln1_b), col(bqkv), col(bproj)
+    ln2_s, ln2_b, b1, b2 = col(ln2_s), col(ln2_b), col(b1), col(b2)
+    rel_bias = rel_bias[..., None]  # [nH, N, N, 1]
+
+    in_specs = [
+        pl.BlockSpec((C, N, BW), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        full((C, 1, 1)),
+        full((C, 1, 1)),
+        full((3 * C, C)),
+        full((3 * C, 1, 1)),
+        full((nH, N, N, 1)),
+        full((C, C)),
+        full((C, 1, 1)),
+        full((C, 1, 1)),
+        full((C, 1, 1)),
+        full((mlp_hidden, C)),
+        full((mlp_hidden, 1, 1)),
+        full((C, mlp_hidden)),
+        full((C, 1, 1)),
+    ]
+    args = [x, ln1_s, ln1_b, wqkv_t, bqkv, rel_bias, wproj_t, bproj, ln2_s, ln2_b, w1_t, b1, w2_t, b2]
+    if pad_mask is not None:
+        in_specs.append(pl.BlockSpec((1, N, BW), lambda i: (0, 0, i), memory_space=pltpu.VMEM))
+        args.append(pad_mask.astype(jnp.float32)[None])
 
     flops_per_row = 2 * C * 3 * C + 2 * 2 * N * C + 2 * C * C + 2 * 2 * C * mlp_hidden
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((C, N, Wp), x.dtype),
         grid=(Wp // BW,),
-        in_specs=[
-            pl.BlockSpec((C, N, BW), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            full((C,)),
-            full((C,)),
-            full((3 * C, C)),
-            full((3 * C,)),
-            full((nH, N, N)),
-            full((C, C)),
-            full((C,)),
-            full((C,)),
-            full((C,)),
-            full((mlp_hidden, C)),
-            full((mlp_hidden,)),
-            full((C, mlp_hidden)),
-            full((C,)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((C, N, BW), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         input_output_aliases={0: 0},
+        scratch_shapes=(
+            [pltpu.VMEM((3 * C, N, BW), x.dtype)] if loop_heads else []
+        ),
         cost_estimate=pl.CostEstimate(
             flops=Wp * N * flops_per_row,
             bytes_accessed=2 * Wp * N * C * x.dtype.itemsize,
             transcendentals=Wp * (nH * N * N + N * mlp_hidden),
         ),
         interpret=interpret,
-    )(x, ln1_s, ln1_b, wqkv_t, bqkv, rel_bias, wproj_t, bproj, ln2_s, ln2_b, w1_t, b1, w2_t, b2)
+    )(*args)
 
     if pad:
         out = out[:, :, :Wt]

@@ -163,7 +163,7 @@ def test_cst_fp32_matches_reference(C, nH):
     ref = swin_block_reference(x2, *args.values(), num_heads=nH, window_tokens=N)
     x3 = jnp.transpose(x2.reshape(Wt, N, C), (2, 1, 0))
     targs = dict(args)
-    for k in ("wqkv", "wproj", "w1", "w2"):
+    for k in ("wqkv", "w1", "w2"):  # wproj stays [in, out]
         targs[k] = jnp.swapaxes(args[k], 0, 1)
     out = fused_swin_block_cst(
         x3,
@@ -217,9 +217,10 @@ def test_model_routing_matches_unfused():
         del os.environ["SWINWNET_FUSED_INTERPRET"]
 
 
-def test_padded_grid_falls_back():
-    """A grid that doesn't tile by the window must NOT take the fused path
-    (pad re-zeroing is unfused-only) yet still match the unfused output."""
+def test_padded_grid_fused_matches():
+    """A grid that doesn't tile by the window fuses via the channels-major
+    kernel's in-kernel pad mask and must match the unfused output (which
+    re-zeroes pad slots post-LN)."""
     os.environ["SWINWNET_FUSED_INTERPRET"] = "1"
     try:
         rng = np.random.default_rng(1)
