@@ -26,6 +26,7 @@ from swinwnet_tpu.ops.norms import denormalize_piecewise, ensure_2ch, normalize_
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 DTYPE = jnp.bfloat16 if (len(sys.argv) < 3 or sys.argv[2] == "bfloat16") else jnp.float32
+USE_PALLAS = os.environ.get("SWINWNET_PROFILE_PALLAS", "0") != "0"
 ITERS = 3
 
 rng = np.random.default_rng(0)
@@ -56,7 +57,8 @@ def main():
     print(f"B={B} dtype={DTYPE.__name__} device={jax.devices()[0].device_kind}")
     model = SwinWNet(
         in_chans=1, error_matrix=True, embed_dim=48, depths=(2, 2, 2, 2),
-        num_heads=(3, 6, 12, 24), window_size=5, attn_chunk=8192, dtype=DTYPE,
+        num_heads=(3, 6, 12, 24), window_size=5, attn_chunk=8192,
+        use_pallas=USE_PALLAS, dtype=DTYPE,
     )
     x = jnp.asarray(rng.uniform(0, 1e3, (B, 2, 250, 480)), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x[:1])
@@ -94,7 +96,8 @@ def main():
         (250, 480, 24, 3, B, "SRhead1 [250,480,24]"),
         (500, 960, 12, 3, min(B, 16), "SRhead2 [500,960,12]"),
     ]:
-        mod = BasicLayer(dim=c, depth=2, num_heads=nh, window_size=5, attn_chunk=8192, dtype=DTYPE)
+        mod = BasicLayer(dim=c, depth=2, num_heads=nh, window_size=5, attn_chunk=8192,
+                         use_pallas=USE_PALLAS, dtype=DTYPE)
         xx = jnp.asarray(rng.standard_normal((bb, h, w, c)), DTYPE)
         v = mod.init(jax.random.PRNGKey(0), xx)
         timeit(f"BasicLayer d2 B={bb} {lbl}", lambda vv, a: mod.apply(vv, a), v, xx)
