@@ -646,9 +646,11 @@ class SwinTransformerBlock(nn.Module):
                 *weights.values(),
                 num_heads=self.num_heads,
                 pad_mask=mask,
-                # sc=4 keeps the unrolled [sc,N,N,BW] product ~1.6MB; the C>=96
-                # fori_loop path needs 8-multiple slice starts
-                score_chunk=min(4, hd) if C <= 48 else 8,
+                # wide score chunks win big (fewer [sc,N,N,BW] partial
+                # accumulations: sc=4 measured 5x SLOWER than sc=16 at L0);
+                # the C>=96 fori_loop path is capped at 8 for scoped VMEM
+                # and 8-multiple slice alignment
+                score_chunk=min(16, hd) if C <= 48 else 8,
                 interpret=interp,
             )
         out = fused_swin_block(
