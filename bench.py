@@ -40,6 +40,9 @@ def main():
 
     from swinwnet_tpu.models import SwinWNet
     from swinwnet_tpu.pipelines.inference import inference_stages
+    from swinwnet_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
 
     dtype = jnp.float32 if os.environ.get("SWINWNET_BENCH_DTYPE") == "float32" else jnp.bfloat16
     # use_pallas routes C>=48 windowed blocks through the fused wide-lane

@@ -54,6 +54,9 @@ def timeit(name, fn, *args, iters=ITERS):
 
 
 def main():
+    from swinwnet_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
     print(f"B={B} dtype={DTYPE.__name__} device={jax.devices()[0].device_kind}")
     model = SwinWNet(
         in_chans=1, error_matrix=True, embed_dim=48, depths=(2, 2, 2, 2),

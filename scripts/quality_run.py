@@ -44,19 +44,31 @@ HELD_OUT = ("Al2O3_sapphire", "C_graphite", "Na2Ca3Al2F14", "Rb", "Si", "UO2")
 
 
 def make_crystal_library(n_train: int, seed: int = 0):
-    """Synthetic crystal library: name -> (d_list, intensities)."""
+    """Synthetic crystal library: name -> (d_list, intensities).
+
+    d-lists are sampled in the detectable regime calibrated against the real
+    reference patterns (round-3 diagnosis): strong reflections below ~4.2 A
+    with >=0.25 A separation — large-d peaks are intrinsically comb-aliased
+    on this detector (the lambda-row spacing maps to ~4 d-bins per row at
+    d~5), and the published width>=5 peak gate rejects them even on real
+    data."""
+    from swinwnet_tpu.data.generation import sample_d_list
+
     rng = np.random.default_rng(seed)
     lib = {}
     for name in list(HELD_OUT) + [f"crystal_{i:02d}" for i in range(n_train)]:
-        n_peaks = int(rng.integers(6, 16))
-        d = np.sort(rng.uniform(0.6, 7.0, n_peaks))
-        inten = rng.uniform(0.2, 3.0, n_peaks)
+        n_peaks = int(rng.integers(4, 9))
+        d = sample_d_list(rng, n_peaks)
+        inten = rng.uniform(0.5, 3.0, len(d))
         lib[name] = (d, inten)
     return lib
 
 
 def render_crystals(lib, names, renders_each, H, W, seed=0):
-    """Render patterns + ground-truth masks for the given crystal names."""
+    """Render patterns + ground-truth masks for the given crystal names.
+
+    Images carry the direct-beam streak (like the real patterns); masks come
+    from a beam-free noiseless render, so the segmenter must reject the beam."""
     from swinwnet_tpu.data.generation import synthesize_pattern
 
     rng = np.random.default_rng(seed)
@@ -65,7 +77,7 @@ def render_crystals(lib, names, renders_each, H, W, seed=0):
         d, inten = lib[name]
         for r in range(renders_each):
             s = int(rng.integers(0, 2**31))
-            img = synthesize_pattern(d, inten, H=H, W=W, seed=s)
+            img = synthesize_pattern(d, inten, H=H, W=W, seed=s, direct_beam=4.0)
             clean = synthesize_pattern(d, inten, H=H, W=W, seed=None, background=0.0)
             thr = float(clean.max()) * 5e-3 if clean.max() > 0 else 1.0
             images.append(img)
@@ -97,8 +109,10 @@ def main():
     from swinwnet_tpu.evalharness.regression import compare_with_baseline, load_baseline_arrays
     from swinwnet_tpu.models import SwinWNet
     from swinwnet_tpu.train import SwinWNetTrainingPipeline
-    from swinwnet_tpu.utils import save_checkpoint
+    from swinwnet_tpu.utils import enable_persistent_cache, save_checkpoint
     import jax
+
+    enable_persistent_cache()
 
     if args.tiny:
         args.height, args.width = 50, 60
@@ -182,6 +196,35 @@ def main():
         },
     )
 
+    # ----- HR-path diagnostics (round-3: diagnose the r02 HR-seg collapse) -----
+    # distribution of the HR sigmoid map and of segment_2's denormalized input
+    # on one eval batch: a collapsed stage-3 odd path shows up as seg_map_hr
+    # mass concentrated in a narrow band around 0.5-0.75 (VERDICT r02 Weak #2)
+    from swinwnet_tpu.pipelines.inference import make_inference_fn
+
+    infer = make_inference_fn(model)
+    stages = infer(variables, jnp.asarray(eval_images[: args.batch, None]))
+    hr_map = np.asarray(stages["seg_map_hr"]).ravel()
+    denorm = np.asarray(stages["upscaled_denorm"]).ravel()
+    diagnostics = {
+        "seg_map_hr": {
+            "mean": float(hr_map.mean()),
+            "frac_below_0.25": float((hr_map < 0.25).mean()),
+            "frac_0.25_0.75": float(((hr_map >= 0.25) & (hr_map <= 0.75)).mean()),
+            "frac_above_0.75": float((hr_map > 0.75).mean()),
+            "quantiles_1_50_99": [float(q) for q in np.quantile(hr_map, (0.01, 0.5, 0.99))],
+        },
+        "segment_2_input_denorm": {
+            "mean": float(denorm.mean()),
+            "std": float(denorm.std()),
+            "quantiles_1_50_99": [float(q) for q in np.quantile(denorm, (0.01, 0.5, 0.99))],
+        },
+        "input_images": {
+            "mean": float(eval_images.mean()),
+            "max": float(eval_images.max()),
+        },
+    }
+
     # ----- summary + informational comparison vs the published baselines -----
     def seg_summary(block):
         out = {}
@@ -208,6 +251,7 @@ def main():
             m: [float(np.mean(phys_all[m])), float(np.std(phys_all[m], ddof=1))]
             for m in phys_all
         },
+        "diagnostics": diagnostics,
         "baseline_comparison": {},
         "baseline_note": (
             "published baselines use the real McStas dataset + released .pth "

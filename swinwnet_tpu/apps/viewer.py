@@ -103,6 +103,9 @@ def export_stage_csv(path: str, curves, sample_names=None):
 
 
 def main(argv=None):
+    from ..utils import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description="SwinWNet-TPU headless inference viewer")
     parser.add_argument("--weights", required=True, help=".pth checkpoint")
     parser.add_argument("--input", required=True, help=".npy pattern (raw or dict)")

@@ -39,6 +39,9 @@ def synthesize_pattern(
     theta_range: Tuple[float, float] = GEOMETRY.theta_range,
     lambda_range: Tuple[float, float] = GEOMETRY.lambda_range,
     pulse_width: float = 0.04,
+    resolution: float = 0.02,
+    theta_blur: float = 1.5,
+    direct_beam: float = 0.0,
     background: float = 2.0,
     counts_scale: float = 1000.0,
     seed: Optional[int] = 0,
@@ -46,16 +49,43 @@ def synthesize_pattern(
     """Render a [H, W] float32 synthetic diffraction pattern.
 
     Each d in `d_list` contributes intensity along lambda = 2 d sin(|theta|/2)
-    with a Gaussian wavelength profile of width `pulse_width` (Angstrom),
-    mimicking moderator pulse broadening; Poisson noise is applied on top of a
-    flat background when `seed` is not None.
+    with a Gaussian wavelength profile of width
+    ``sqrt(pulse_width^2 + (resolution * lambda_bragg)^2)`` (Angstrom):
+    `pulse_width` is the constant moderator pulse broadening and `resolution`
+    the relative Delta-d/d instrument resolution term — on a TOF
+    diffractometer sigma_lambda = r*lambda gives exactly sigma_d/d = r in
+    every detector column, so rebinned peaks have constant *relative* width
+    (~2% default, matching the width>=5-bin detection gate of the published
+    metric spec on the 832/1241-bin d-grids — Diffraction_metrics.py:109-118).
+
+    Per-column Bragg intensity is FLAT in theta: the published real patterns
+    (reference datasets/*.npy) show constant column sums away from the direct
+    beam, so no Lorentz-style 1/sin factor is applied. (An earlier 1/sin
+    variant concentrated 20x-boosted counts into a handful of d-bins near its
+    clip plateau, which made every rebinned peak a 1-2-bin spike that failed
+    the published width>=5 detection gate — diagnosed round 3.)
+
+    `theta_blur` (sigma in detector columns) models in-plane angular
+    divergence; it is what smooths per-d-bin pixel-count aliasing in the
+    rebinned spectra, as the real instrument's divergence does.
+
+    `direct_beam` > 0 adds a transmitted-beam streak at theta ~ 0 with a
+    moderator-like lambda spectrum, amplitude `direct_beam` relative to the
+    Bragg scale (real patterns show a ~5-20x hot band within |theta| < 10
+    degrees). It maps to d > 7.5 A under the rebinners' d-mask, so it never
+    pollutes I(d) — but segmentation models must learn to reject it, exactly
+    as with the real data.
+
+    Poisson noise is applied on top of a flat background when `seed` is not
+    None.
     """
     d_list = np.asarray(d_list, dtype=np.float64)
     if intensities is None:
         intensities = np.ones_like(d_list)
     intensities = np.asarray(intensities, dtype=np.float64)
 
-    theta = np.deg2rad(np.abs(np.linspace(theta_range[0], theta_range[1], W)))
+    theta_deg = np.linspace(theta_range[0], theta_range[1], W)
+    theta = np.deg2rad(np.abs(theta_deg))
     lam = np.linspace(lambda_range[0], lambda_range[1], H)
     lam_grid = lam[:, None]  # [H, 1]
     sin_half = np.sin(theta * 0.5)[None, :]  # [1, W]
@@ -64,10 +94,20 @@ def synthesize_pattern(
     for d, inten in zip(d_list, intensities):
         lam_bragg = 2.0 * d * sin_half  # [1, W] per-column Bragg wavelength
         in_band = (lam_bragg > lambda_range[0]) & (lam_bragg < lambda_range[1])
-        profile = np.exp(-0.5 * ((lam_grid - lam_bragg) / pulse_width) ** 2)
-        # Lorentz-like 1/sin(theta) geometric factor, clipped near theta=0
-        geom = 1.0 / np.maximum(sin_half, 0.05)
-        img += inten * profile * geom * in_band
+        sigma = np.sqrt(pulse_width**2 + (resolution * lam_bragg) ** 2)
+        profile = np.exp(-0.5 * ((lam_grid - lam_bragg) / sigma) ** 2)
+        img += inten * profile * in_band
+
+    if direct_beam > 0.0:
+        # transmitted beam: Gaussian in theta (sigma ~3.5 deg), Maxwellian-ish
+        # lambda spectrum peaked near 1.5 A
+        beam_theta = np.exp(-0.5 * (theta_deg / 3.5) ** 2)[None, :]
+        beam_lam = (lam_grid**2) * np.exp(-lam_grid / 0.9)
+        beam_lam = beam_lam / beam_lam.max()
+        img += direct_beam * beam_lam * beam_theta
+
+    if theta_blur > 0.0:
+        img = _gaussian_blur_axis1(img, theta_blur)
 
     img = img * counts_scale + background
     if seed is not None:
@@ -76,24 +116,60 @@ def synthesize_pattern(
     return img.astype(np.float32)
 
 
+def _gaussian_blur_axis1(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Small separable Gaussian blur along axis 1 (theta columns)."""
+    radius = max(1, int(3.0 * sigma + 0.5))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    pad = np.pad(img, ((0, 0), (radius, radius)), mode="edge")
+    return sum(w * pad[:, j : j + img.shape[1]] for j, w in enumerate(k))
+
+
+def sample_d_list(
+    rng: np.random.Generator,
+    n_peaks: int,
+    d_range: Tuple[float, float] = (0.8, 4.2),
+    min_sep: float = 0.25,
+) -> np.ndarray:
+    """Sample `n_peaks` interplanar distances with a minimum separation.
+
+    Real powder patterns concentrate their strong reflections below ~4 A with
+    well-separated d's (reference datasets: Si detects at 0.55-3.09 A); the
+    separation also keeps peaks resolvable under the published distance=10-bin
+    / tol=0.05 A matching gates on the 832/1241-bin d-grids."""
+    out: list = []
+    for _ in range(50 * n_peaks):
+        c = float(rng.uniform(*d_range))
+        if all(abs(c - o) >= min_sep for o in out):
+            out.append(c)
+        if len(out) == n_peaks:
+            break
+    return np.sort(np.asarray(out))
+
+
 def synthesize_dataset(
     n_samples: int,
-    n_peaks_range: Tuple[int, int] = (5, 15),
-    d_range: Tuple[float, float] = (0.6, 7.0),
+    n_peaks_range: Tuple[int, int] = (4, 9),
+    d_range: Tuple[float, float] = (0.8, 4.2),
+    direct_beam: float = 4.0,
     seed: int = 0,
     **kwargs,
 ):
-    """[N, H, W] patterns + [N, H, W] uint8 ground-truth peak masks (pixels
-    within 2 sigma of any Bragg locus)."""
+    """[N, H, W] patterns + [N, H, W] uint8 ground-truth peak masks.
+
+    Images include the direct-beam streak (as real patterns do); masks are
+    derived from a beam-free noiseless render, so segmentation must learn to
+    reject the beam exactly as with the real labeled data."""
     rng = np.random.default_rng(seed)
-    H = kwargs.get("H", GEOMETRY.height)
-    W = kwargs.get("W", GEOMETRY.width)
     images, masks = [], []
     for i in range(n_samples):
         n_peaks = int(rng.integers(*n_peaks_range))
-        d_list = rng.uniform(*d_range, size=n_peaks)
-        inten = rng.uniform(0.2, 3.0, size=n_peaks)
-        img = synthesize_pattern(d_list, inten, seed=seed + 1000 + i, **kwargs)
+        d_list = sample_d_list(rng, n_peaks, d_range)
+        inten = rng.uniform(0.5, 3.0, size=len(d_list))
+        img = synthesize_pattern(
+            d_list, inten, seed=seed + 1000 + i, direct_beam=direct_beam, **kwargs
+        )
         clean = synthesize_pattern(d_list, inten, seed=None, background=0.0, **kwargs)
         thr = float(clean.max()) * 5e-3 if clean.max() > 0 else 1.0
         masks.append((clean > thr).astype(np.uint8))

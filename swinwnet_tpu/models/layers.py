@@ -391,11 +391,6 @@ class Mlp(nn.Module):
         return x
 
 
-# smallest channel dim routed through the fused block kernel (see
-# SwinTransformerBlock: lane-padding inflation gates the SR-head levels out)
-_FUSE_MIN_DIM = int(os.environ.get("SWINWNET_FUSE_MIN_DIM", "48"))
-
-
 class _LNParams(nn.Module):
     """Declares LayerNorm-compatible params ({scale, bias}) and returns them
     raw, for routing into the fused block kernel with an identical

@@ -1,3 +1,23 @@
-from .window_msa import fused_window_attention, window_attention_reference
+"""Pallas TPU kernels.
 
-__all__ = ["fused_window_attention", "window_attention_reference"]
+`swin_block` holds the fused whole-Swin-block kernels (the serving path:
+LN -> W-MSA(+rel-pos bias) -> proj -> residual -> LN -> MLP -> residual in
+one VMEM-resident grid step). The round-1 fused window-MSA-only kernel
+(`window_msa.py`) was removed in round 3: it lost to the XLA bcast
+formulation at every shipped shape and had a known hd=32 Mosaic miscompile
+(PERFORMANCE.md, round-1 status); the whole-block kernels supersede it.
+"""
+
+from .swin_block import (
+    fused_swin_block,
+    fused_swin_block_cst,
+    fused_swin_block_wide,
+    swin_block_reference,
+)
+
+__all__ = [
+    "fused_swin_block",
+    "fused_swin_block_cst",
+    "fused_swin_block_wide",
+    "swin_block_reference",
+]
