@@ -1,26 +1,37 @@
-"""Throughput benchmark: full 8-stage SwinWNet inference, images/sec/chip.
+"""Throughput benchmark suite: serving + training configurations, one JSON line.
 
-Runs the flagship multimodal pipeline (BASELINE config #4: [B,2,250,480]
-diffraction + error matrix -> masked 2x-SR pattern) end-to-end on the
-attached TPU chip and prints ONE JSON line.
+The headline metric is the flagship multimodal pipeline (BASELINE config #4:
+[B,2,250,480] diffraction + error matrix -> masked 2x-SR pattern) at B=64
+bfloat16 with the fused Pallas Swin-block kernels. The printed record also
+carries a `records` list with the full matrix:
+
+* full_b64_bf16      — headline serving throughput (images/sec/chip)
+* full_b1_bf16       — single-image serving latency (ms/image)
+* full_b8_fp32       — fp32 parity-precision config (the round-1 anchor shape)
+* seg_only_b64_bf16  — segmentation-only BASELINE config #1 (SwinUNet)
+* train_stage1_b4    — stage-1 supervised train step (fwd+bwd+masked-AdamW)
+* train_stage3_odd_b4— stage-3 joint odd step (all three towers + update)
+
+Each record is measured over an adaptively-sized loop targeting >=30 s of
+steady state (SWINWNET_BENCH_TARGET_S overrides; set 2 for smoke runs).
+Serving iterations are serialized through a data dependency (each step's
+input mixes in the previous output) and each timed loop ends with a host
+fetch — `block_until_ready` alone under-reports on tunneled/experimental
+PJRT backends. Training iterations chain through the optimizer state.
 
 Serving mode: bfloat16 compute + chunked window attention (binarized masks
-agree with fp32 on >99% of pixels — tests/test_modes.py; chunking is
-numerically identical and bounds the live attention tensor so large batches
-fit HBM). Set SWINWNET_BENCH_DTYPE=float32 for the parity-precision
-configuration.
-
-Timing methodology: iterations are serialized through a data dependency
-(each step's input mixes in the previous output) and the loop ends with a
-host fetch — `block_until_ready` alone under-reports on tunneled/experimental
-PJRT backends.
+agree with fp32 on >99% of pixels — tests/test_modes.py). Training runs the
+quality-run configuration (fp32 + per-block remat, batch 4 — the stage-3
+joint backward exceeds 16 GB HBM without remat).
 
 The reference publishes no wall-clock numbers (SURVEY.md §6), so the baseline
 is this framework's first recorded measurement (BASELINE_IPS below);
-vs_baseline tracks speedups across rounds.
+vs_baseline tracks speedups across rounds. The persistent XLA compilation
+cache (utils/compilation_cache.py) makes warm reruns compile-free.
 """
 
 import json
+import math
 import os
 import time
 
@@ -30,81 +41,204 @@ import numpy as np
 # (the anchor for vs_baseline across rounds — do not edit retroactively).
 BASELINE_IPS = 11.2
 
-BATCH = 64
-ITERS = 5
+TARGET_S = float(os.environ.get("SWINWNET_BENCH_TARGET_S", "30"))
+
+
+def _steady_iters(probe_fn, target_s):
+    """Run a 2-iteration probe and size the timed loop to >= target_s."""
+    t0 = time.perf_counter()
+    probe_fn(2)
+    per_iter = (time.perf_counter() - t0) / 2
+    return max(3, math.ceil(target_s / max(per_iter, 1e-9))), per_iter
+
+
+def _bench_serving(step, variables, x, batch, target_s):
+    """Chained serving loop; returns (img/s, iters, seconds)."""
+    import jax  # noqa: F401
+
+    y = step(variables, x)
+    _ = float(np.asarray(y).ravel()[0])  # warmup + compile barrier
+
+    def run(n):
+        yy = step(variables, x)
+        for _ in range(n - 1):
+            yy = step(variables, yy)
+        _ = float(np.asarray(yy).ravel()[0])
+
+    iters, _ = _steady_iters(run, target_s)
+    t0 = time.perf_counter()
+    run(iters)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt, iters, dt
+
+
+def _bench_training(step, state, images, masks, batch, target_s):
+    """Training loop chained through the optimizer state."""
+    s, _aux = step(state, images, masks)
+    _ = float(np.asarray(s.step))  # warmup + compile barrier
+
+    def run(n):
+        ss = state
+        for _ in range(n):
+            ss, _ = step(ss, images, masks)
+        _ = float(np.asarray(ss.step))
+
+    iters, _ = _steady_iters(run, target_s)
+    t0 = time.perf_counter()
+    run(iters)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt, iters, dt
+
+
+def _cost_per_image(step, batch, *args):
+    try:
+        cost = step.lower(*args).compile().cost_analysis()
+        if cost and cost.get("flops"):
+            return float(cost["flops"]) / batch
+    except Exception:  # cost analysis is best-effort on experimental backends
+        pass
+    return None
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from swinwnet_tpu.models import SwinWNet
+    from swinwnet_tpu.models import SwinUNet, SwinWNet
     from swinwnet_tpu.pipelines.inference import inference_stages
     from swinwnet_tpu.utils import enable_persistent_cache
 
     enable_persistent_cache()
 
-    dtype = jnp.float32 if os.environ.get("SWINWNET_BENCH_DTYPE") == "float32" else jnp.bfloat16
-    # use_pallas routes C>=48 windowed blocks through the fused wide-lane
-    # Swin-block kernel (ops/pallas/swin_block.py); SWINWNET_BENCH_PALLAS=0
-    # benches the pure-XLA bcast path instead.
-    use_pallas = os.environ.get("SWINWNET_BENCH_PALLAS", "1") != "0"
-    model = SwinWNet(
-        in_chans=1,
-        error_matrix=True,
-        embed_dim=48,
-        depths=(2, 2, 2, 2),
-        num_heads=(3, 6, 12, 24),
-        window_size=5,
-        attn_chunk=8192,
-        use_pallas=use_pallas,
-        dtype=dtype,
-    )
-    x = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 1e3, (BATCH, 2, 250, 480)), jnp.float32
-    )
-    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    only = {s for s in os.environ.get("SWINWNET_BENCH_CONFIGS", "").split(",") if s}
 
-    @jax.jit
-    def step(variables, x):
-        out = inference_stages(model, variables, x)["images_masked_hr"]
-        # serialize successive iterations through a data dependency
-        return x + 1e-12 * out[:, :, :250, :480].sum().astype(jnp.float32)
+    def want(name):
+        return not only or name in only
 
-    # compile + warmup; pull XLA's own FLOP count for an MFU figure
-    flops_per_img = None
-    try:
-        cost = step.lower(variables, x).compile().cost_analysis()
-        if cost and cost.get("flops"):
-            flops_per_img = float(cost["flops"]) / BATCH
-    except Exception:  # cost analysis is best-effort on experimental backends
-        pass
-    y = step(variables, x)
-    _ = float(y.sum())
-    y = step(variables, x)
-    _ = float(y.sum())
+    rng = np.random.default_rng(0)
+    records = []
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        y = step(variables, y)
-    _ = float(y.sum())  # host fetch forces completion of the whole chain
-    dt = time.perf_counter() - t0
+    def wnet(dtype, use_pallas, remat=False):
+        return SwinWNet(
+            in_chans=1, error_matrix=True, embed_dim=48, depths=(2, 2, 2, 2),
+            num_heads=(3, 6, 12, 24), window_size=5, attn_chunk=8192,
+            use_pallas=use_pallas, remat=remat, dtype=dtype,
+        )
 
-    ips = BATCH * ITERS / dt
+    # ---------------- serving configs ----------------
+    serving = [
+        ("full_b64_bf16", 64, jnp.bfloat16, True),
+        ("full_b1_bf16", 1, jnp.bfloat16, True),
+        ("full_b8_fp32", 8, jnp.float32, False),
+    ]
+    for name, batch, dtype, use_pallas in serving:
+        if not want(name):
+            continue
+        model = wnet(dtype, use_pallas)
+        x = jnp.asarray(rng.uniform(0, 1e3, (batch, 2, 250, 480)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x[:1])
+
+        @jax.jit
+        def step(variables, x, model=model):
+            out = inference_stages(model, variables, x)["images_masked_hr"]
+            return x + 1e-12 * out[:, :, :250, :480].sum().astype(jnp.float32)
+
+        flops_per_img = _cost_per_image(step, batch, variables, x)
+        ips, iters, dt = _bench_serving(step, variables, x, batch, TARGET_S)
+        rec = {
+            "name": name, "kind": "serving_full_pipeline", "batch": batch,
+            "dtype": "float32" if dtype == jnp.float32 else "bfloat16",
+            "use_pallas": use_pallas, "images_per_sec": round(ips, 2),
+            "iters": iters, "steady_state_s": round(dt, 1),
+        }
+        if batch == 1:
+            rec["latency_ms_per_image"] = round(1e3 / ips, 1)
+        if flops_per_img:
+            rec["gflops_per_image"] = round(flops_per_img / 1e9, 1)
+            # v5e bf16 peak ~197 TFLOP/s; fp32 (HIGHEST) ~1/4 of that
+            peak = 197e12 if dtype != jnp.float32 else 49e12
+            rec["mfu_pct"] = round(100.0 * flops_per_img * ips / peak, 2)
+        records.append(rec)
+        print(f"# {name}: {ips:.2f} img/s ({iters} iters, {dt:.0f}s)", flush=True)
+
+    # ---------------- segmentation-only (config #1) ----------------
+    if want("seg_only_b64_bf16"):
+        from swinwnet_tpu.pipelines.simple import make_segmentation_fn
+
+        seg_model = SwinUNet(
+            in_chans=2, embed_dim=48, depths=(2, 2, 2, 2),
+            num_heads=(3, 6, 12, 24), window_size=5, attn_chunk=8192,
+            use_pallas=True, dtype=jnp.bfloat16,
+        )
+        batch = 64
+        x = jnp.asarray(rng.uniform(0, 1e3, (batch, 2, 250, 480)), jnp.float32)
+        variables = seg_model.init(jax.random.PRNGKey(0), x[:1])
+        seg_fn = make_segmentation_fn(seg_model)
+
+        @jax.jit
+        def seg_step(variables, x):
+            prob = seg_fn(variables, x)
+            return x + 1e-12 * prob.sum().astype(jnp.float32)
+
+        ips, iters, dt = _bench_serving(seg_step, variables, x, batch, TARGET_S)
+        records.append({
+            "name": "seg_only_b64_bf16", "kind": "serving_config1_segmentation",
+            "batch": batch, "dtype": "bfloat16", "use_pallas": True,
+            "images_per_sec": round(ips, 2), "iters": iters,
+            "steady_state_s": round(dt, 1),
+        })
+        print(f"# seg_only_b64_bf16: {ips:.2f} img/s ({iters} iters, {dt:.0f}s)", flush=True)
+
+    # ---------------- training steps (quality-run config) ----------------
+    if want("train_stage1_b4") or want("train_stage3_odd_b4"):
+        from swinwnet_tpu.train.freeze import masked_adamw
+        from swinwnet_tpu.train.losses import combined_loss, smooth_l1_loss
+        from swinwnet_tpu.train.trainers import (
+            TrainState, make_stage1_step, make_stage3_steps,
+        )
+
+        batch = 4
+        model = wnet(jnp.float32, False, remat=True)
+        images = jnp.asarray(rng.uniform(0, 1e3, (batch, 1, 250, 480)), jnp.float32)
+        masks = jnp.asarray((rng.uniform(size=(batch, 250, 480)) > 0.9), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 250, 480)))["params"]
+
+        train_cfgs = []
+        if want("train_stage1_b4"):
+            tx1 = masked_adamw(params, "stage1", 1e-4)
+            step1 = make_stage1_step(model, tx1, combined_loss)
+            train_cfgs.append(("train_stage1_b4", "training_stage1_step", step1, tx1))
+        if want("train_stage3_odd_b4"):
+            tx3 = masked_adamw(params, "stage3", 1e-4)
+            _, odd_step, _, _ = make_stage3_steps(model, tx3, combined_loss, smooth_l1_loss)
+            train_cfgs.append(("train_stage3_odd_b4", "training_stage3_odd_step", odd_step, tx3))
+
+        for name, kind, step, tx in train_cfgs:
+            state = TrainState.create(params, tx)
+            ips, iters, dt = _bench_training(step, state, images, masks, batch, TARGET_S)
+            records.append({
+                "name": name, "kind": kind, "batch": batch, "dtype": "float32",
+                "remat": True, "images_per_sec": round(ips, 2), "iters": iters,
+                "steady_state_s": round(dt, 1),
+            })
+            print(f"# {name}: {ips:.2f} img/s ({iters} iters, {dt:.0f}s)", flush=True)
+
+    # ---------------- headline line ----------------
+    head = next((r for r in records if r["name"] == "full_b64_bf16"), records[0])
     rec = {
         "metric": "swinwnet_full_inference_throughput",
-        "value": round(ips, 2),
+        "value": head["images_per_sec"],
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / BASELINE_IPS, 3),
-        "batch": BATCH,
-        "dtype": "float32" if dtype == jnp.float32 else "bfloat16",
-        "use_pallas": use_pallas,
+        "vs_baseline": round(head["images_per_sec"] / BASELINE_IPS, 3),
+        "batch": head["batch"],
+        "dtype": head["dtype"],
+        "use_pallas": head.get("use_pallas", False),
+        "target_steady_state_s": TARGET_S,
+        "records": records,
     }
-    if flops_per_img:
-        rec["gflops_per_image"] = round(flops_per_img / 1e9, 1)
-        # v5e bf16 peak ~197 TFLOP/s; fp32 (HIGHEST) ~1/4 of that
-        peak = 197e12 if dtype != jnp.float32 else 49e12
-        rec["mfu_pct"] = round(100.0 * flops_per_img * ips / peak, 2)
+    if "mfu_pct" in head:
+        rec["gflops_per_image"] = head["gflops_per_image"]
+        rec["mfu_pct"] = head["mfu_pct"]
     print(json.dumps(rec))
 
 

@@ -62,7 +62,20 @@ class MetricsCalculator:
     """Drives the jitted inference pipeline over a loader and aggregates
     segmentation / SR / physical metric distributions."""
 
-    def __init__(self, model: SwinWNet, variables, val_loader, verbose: bool = True):
+    def __init__(
+        self,
+        model: SwinWNet,
+        variables,
+        val_loader,
+        verbose: bool = True,
+        policy=None,
+        policy_variables=None,
+    ):
+        """`policy`/`policy_variables`: optional trained AlphaPolicy — when
+        given, the SR branch applies the deterministic action mu after
+        `upscale`, matching the RL inference pipeline
+        (RL_Inference_Pipline.py:113-121), so post-RL-fine-tune metrics run
+        through the same harness as the supervised ones."""
         self.model = model
         self.variables = variables
         self.val_loader = val_loader
@@ -86,6 +99,11 @@ class MetricsCalculator:
             norm_downscaled, _ = normalize_piecewise(images_downscaled)
             norm_images, params_images = normalize_piecewise(images)
             sr_out, _ = model.apply(variables, norm_downscaled, skips_seg, method=SwinWNet.upscale)
+            if policy is not None:
+                from ..models.alpha_policy import apply_action
+
+                mu, _std = policy.apply(policy_variables, norm_downscaled)
+                sr_out = apply_action(sr_out, mu)
             denorm_sr_out = denormalize_piecewise(sr_out, params_images)
             return images_downscaled, norm_images, sr_out, denorm_sr_out
 

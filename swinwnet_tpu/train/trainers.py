@@ -174,7 +174,14 @@ def make_stage3_steps(
         )
         loss_high = seg_loss_fn(seg_high, masks_up)
         total = loss_low * seg_weight_lr + loss_high * seg_weight_hr
-        return total, {"loss": total, "seg_lr": loss_low, "seg_hr": loss_high, "rec": jnp.zeros(())}
+        # per-epoch HR-IoU@0.50 diagnostic (not part of the reference loss; it
+        # tracks whether the segment_2 path is learning vs collapsing to a
+        # constant sigmoid band — see QUALITY_r02 HR analysis)
+        pred_hr = (jax.nn.sigmoid(seg_high) > 0.5).astype(jnp.float32)
+        inter = jnp.sum(pred_hr * masks_up)
+        union = jnp.sum(jnp.maximum(pred_hr, masks_up))
+        iou_hr = jax.lax.stop_gradient(inter / jnp.maximum(union, 1.0))
+        return total, {"loss": total, "seg_lr": loss_low, "seg_hr": loss_high, "rec": jnp.zeros(()), "iou_hr": iou_hr}
 
     def make(loss_of):
         @jax.jit
@@ -390,6 +397,7 @@ class FullModelTrainer(_BaseTrainer):
 
     def _run_epoch(self, loader, train: bool) -> Dict[str, float]:
         tot = {"loss": 0.0, "seg_lr": 0.0, "seg_hr": 0.0, "rec": 0.0}
+        iou_hr_sum, n_odd = 0.0, 0
         for batch_idx, (images, masks) in enumerate(loader):
             images, masks = jnp.asarray(images), jnp.asarray(masks)
             is_even = batch_idx % 2 == 0
@@ -401,8 +409,13 @@ class FullModelTrainer(_BaseTrainer):
                 aux = fn(self.state.params, images, masks)
             for k in tot:
                 tot[k] += float(aux[k])
+            if not is_even:
+                iou_hr_sum += float(aux["iou_hr"])
+                n_odd += 1
         n = max(len(loader), 1)
-        return {k: v / n for k, v in tot.items()}
+        out = {k: v / n for k, v in tot.items()}
+        out["iou_hr"] = iou_hr_sum / max(n_odd, 1)
+        return out
 
     def train(self) -> Dict[str, list]:
         for epoch in range(self.num_epochs):
@@ -419,7 +432,8 @@ class FullModelTrainer(_BaseTrainer):
                 print(
                     f"Epoch [{epoch+1}/{self.num_epochs}] "
                     f"Train {train_m['loss']:.4f} (seg_lr {train_m['seg_lr']:.4f} "
-                    f"seg_hr {train_m['seg_hr']:.4f} rec {train_m['rec']:.4f}) "
+                    f"seg_hr {train_m['seg_hr']:.4f} rec {train_m['rec']:.4f} "
+                    f"iou_hr {train_m['iou_hr']:.3f}) "
                     f"Val {val_m['loss']:.4f}"
                 )
         return {"train": self.history_train, "val": self.history_val}
