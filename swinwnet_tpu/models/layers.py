@@ -648,11 +648,18 @@ class SwinTransformerBlock(nn.Module):
                 score_chunk=min(16, hd) if C <= 48 else 8,
                 interpret=interp,
             )
+        m = _window_pad_mask_np(*self.grid_hw, self.window_size)
+        mask = None
+        if m is not None:  # [nW, N, 1] per sample -> [B*nW*N, 1] row-major
+            nW = m.shape[0]
+            Bv = x.shape[0] // nW
+            mask = jnp.asarray(np.tile(m, (Bv, 1, 1)).reshape(-1, 1))
         out = fused_swin_block(
             x.reshape(-1, C).astype(self.dtype),
             *weights.values(),
             num_heads=self.num_heads,
             window_tokens=N,
+            pad_mask=mask,
             interpret=interp,
         )
         return out.reshape(x.shape)
@@ -700,42 +707,43 @@ class BasicLayer(nn.Module):
         if windowed:
             B, H, W, C = x.shape
             grid_hw = (H, W)
-            # Whole-stack fused-kernel gate + layout choice: C >= 48 levels
-            # use the wide-lane kernel on [N, Wt, C] (lane padding <= 2.7x on
-            # small grids); the SR-head C=12/24 levels — the largest token
-            # grids, where a C-minor pallas layout would inflate HBM I/O
-            # 5-11x — use the channels-major kernel on [C, N, Wt] (uniform
-            # ~1.28x padding).
-            # C > 96 cannot fit the channels-major kernel's buffers under
-            # the 16MB scoped-VMEM limit at the 128-lane minimum legal block
-            # (the C=96 levels fit via the kernel's fori_loop-over-heads
-            # path) -> C >= 192 (few-window, matmul-dominated) levels stay
-            # on the XLA path.
+            # Whole-stack fused-kernel gate + layout choice:
+            # * C <= 96 levels use the channels-major kernel on [C, N, Wt]:
+            #   uniform ~1.28x HBM padding at every width (vs 128/C-fold for
+            #   any C-in-lanes layout) — essential for the SR-head C=12/24
+            #   levels (largest token grids, 5-11x tax otherwise).
+            # * C = 192/384 levels (round 3): the channels-major buffers
+            #   cannot fit scoped VMEM at the 128-lane minimum legal block,
+            #   but the ROW-MAJOR kernel ([Wt*N, C], C in lanes) fits via its
+            #   VMEM-sized BW and pads only 1.33x/1.0x there — and with pad
+            #   masks (these grids don't tile by the window) it now covers
+            #   them. SWINWNET_FUSED_DEEP=0 restores the XLA path.
+            fuse_deep = os.environ.get("SWINWNET_FUSED_DEEP", "1") != "0"
             fusable = (
                 self.use_pallas
                 and deterministic
-                and self.dim <= 96
+                and (self.dim <= 96 or (fuse_deep and self.dim <= 384))
                 and (
                     jax.default_backend() == "tpu"
                     or bool(os.environ.get("SWINWNET_FUSED_INTERPRET"))
                 )
             )
             if fusable:
-                # channels-major everywhere: its [C, N, Wt] HBM layout pads a
-                # uniform ~1.28x at every width (vs 128/C-fold for any
-                # C-in-lanes layout), the kernel body is transpose-free, and
-                # it supports pad-masked (non-tiling) grids in-kernel.
-                # "nmajor" (wide-lane, [N, Wt, C]) is kept for A/B via env;
-                # it has no mask support, so padded grids fall back.
-                fused_layout = os.environ.get("SWINWNET_FUSED_LAYOUT", "cmajor")
-                if (
-                    fused_layout == "nmajor"
-                    and _window_pad_mask_np(H, W, self.window_size) is not None
-                ):
-                    fused_layout = ""
+                if self.dim <= 96:
+                    # "nmajor" (wide-lane, [N, Wt, C]) is kept for A/B via
+                    # env; it has no mask support, so padded grids fall back.
+                    fused_layout = os.environ.get("SWINWNET_FUSED_LAYOUT", "cmajor")
+                    if (
+                        fused_layout == "nmajor"
+                        and _window_pad_mask_np(H, W, self.window_size) is not None
+                    ):
+                        fused_layout = ""
+                else:
+                    fused_layout = "rowmajor"
             part = {
                 "nmajor": window_partition_nmajor,
                 "cmajor": window_partition_cmajor,
+                "rowmajor": window_partition,
                 "": window_partition,
             }[fused_layout]
             x, (Hp, Wp) = part(x, self.window_size)
@@ -762,6 +770,7 @@ class BasicLayer(nn.Module):
             rev = {
                 "nmajor": window_reverse_nmajor,
                 "cmajor": window_reverse_cmajor,
+                "rowmajor": window_reverse,
                 "": window_reverse,
             }[fused_layout]
             x = rev(x, self.window_size, Hp, Wp)

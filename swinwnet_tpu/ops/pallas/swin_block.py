@@ -85,12 +85,17 @@ def _block_kernel(
     b1_ref,
     w2_ref,
     b2_ref,
-    o_ref,
-    *,
+    *rest,
     num_heads: int,
     window_tokens: int,
     block_windows: int,
+    has_mask: bool,
+    mlp_hidden_chunk: int = 0,
 ):
+    if has_mask:
+        mask_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     N = window_tokens
     BW = block_windows
     R = BW * N
@@ -104,6 +109,11 @@ def _block_kernel(
 
     # ---- LN1 -> qkv ----
     y = _ln(x32, ln1_s_ref[:], ln1_b_ref[:])
+    if has_mask:
+        # zero pad token slots post-LN (reference pad-after-norm semantics,
+        # SwinWNet.py:243-253): pad rows feed bias-only q/k/v, exactly like
+        # the unfused windowed path on non-tiling grids
+        y = y * mask_ref[:]
     qkv = jnp.dot(y.astype(cdt), wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = qkv + bqkv_ref[:]  # [R, 3C] fp32
 
@@ -146,11 +156,24 @@ def _block_kernel(
 
     # ---- LN2 -> MLP -> residual ----
     y2 = _ln(x32, ln2_s_ref[:], ln2_b_ref[:])
-    hmid = jnp.dot(y2.astype(cdt), w1_ref[:], preferred_element_type=jnp.float32)
-    hmid = hmid + b1_ref[:]
-    # torch-exact erf GELU (see _erf32)
-    hmid = 0.5 * hmid * (1.0 + _erf32(hmid * jnp.float32(0.7071067811865476)))
-    mlp = jnp.dot(hmid.astype(cdt), w2_ref[:], preferred_element_type=jnp.float32)
+    H = w1_ref.shape[1]
+    hchunk = mlp_hidden_chunk or H
+    y2c = y2.astype(cdt)
+    mlp = None
+    # optional hidden-dim chunking bounds the live fp32 [R, hchunk] hidden
+    # buffer (wide-C levels); chunks are static lane slices of the weights
+    for h0 in range(0, H, hchunk):
+        hw = min(hchunk, H - h0)
+        hmid = jnp.dot(
+            y2c, w1_ref[:, h0 : h0 + hw], preferred_element_type=jnp.float32
+        )
+        hmid = hmid + b1_ref[h0 : h0 + hw]
+        # torch-exact erf GELU (see _erf32)
+        hmid = 0.5 * hmid * (1.0 + _erf32(hmid * jnp.float32(0.7071067811865476)))
+        part = jnp.dot(
+            hmid.astype(cdt), w2_ref[h0 : h0 + hw, :], preferred_element_type=jnp.float32
+        )
+        mlp = part if mlp is None else mlp + part
     x32 = x32 + mlp + b2_ref[:]
 
     o_ref[:] = x32.astype(o_ref.dtype)
@@ -196,6 +219,7 @@ def fused_swin_block(
     b2,
     num_heads: int,
     window_tokens: int,
+    pad_mask=None,
     block_windows: int = 0,
     interpret: bool = False,
 ):
@@ -204,6 +228,9 @@ def fused_swin_block(
     Weights arrive in x.dtype (bf16 for serving); LN params, biases and the
     rel-pos bias table in fp32. `rel_bias` is [nH, N, N] (gathered by the
     caller; the gather index is static per trace).
+
+    `pad_mask` [Wt*N, 1] {0,1} marks real (non-pad) token slots for grids
+    that don't tile by the window; None when the grid tiles exactly.
     """
     Rt, C = x.shape
     N = window_tokens
@@ -213,37 +240,55 @@ def fused_swin_block(
     pad = (-Wt) % BW
     if pad:
         x = jnp.pad(x, ((0, pad * N), (0, 0)))
+        if pad_mask is not None:
+            pad_mask = jnp.pad(pad_mask, ((0, pad * N), (0, 0)))
     Wp = Wt + pad
 
     nH = num_heads
-    kernel = functools.partial(
-        _block_kernel, num_heads=nH, window_tokens=N, block_windows=BW
-    )
-    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     R = BW * N
     mlp_hidden = w1.shape[1]
+    # chunk the fp32 MLP hidden when it alone would exceed ~2 MB of VMEM
+    hchunk = 0
+    if 4 * R * mlp_hidden > 2 * 1024 * 1024:
+        hchunk = max(128, (2 * 1024 * 1024 // (4 * R)) // 128 * 128)
+        hchunk = min(hchunk, mlp_hidden)
+    kernel = functools.partial(
+        _block_kernel,
+        num_heads=nH,
+        window_tokens=N,
+        block_windows=BW,
+        has_mask=pad_mask is not None,
+        mlp_hidden_chunk=hchunk,
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        full((C,)),
+        full((C,)),
+        full((C, 3 * C)),
+        full((3 * C,)),
+        full((nH, N, N)),
+        full((C, C)),
+        full((C,)),
+        full((C,)),
+        full((C,)),
+        full((C, mlp_hidden)),
+        full((mlp_hidden,)),
+        full((mlp_hidden, C)),
+        full((C,)),
+    ]
+    args = [x, ln1_s, ln1_b, wqkv, bqkv, rel_bias, wproj, bproj, ln2_s, ln2_b, w1, b1, w2, b2]
+    if pad_mask is not None:
+        in_specs.append(pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM))
+        args.append(pad_mask.astype(jnp.float32))
 
     flops_per_row = 2 * C * 3 * C + 2 * 2 * N * C + 2 * C * C + 2 * 2 * C * mlp_hidden
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Wp * N, C), x.dtype),
         grid=(Wp // BW,),
-        in_specs=[
-            pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            full((C,)),
-            full((C,)),
-            full((C, 3 * C)),
-            full((3 * C,)),
-            full((nH, N, N)),
-            full((C, C)),
-            full((C,)),
-            full((C,)),
-            full((C,)),
-            full((C, mlp_hidden)),
-            full((mlp_hidden,)),
-            full((mlp_hidden, C)),
-            full((C,)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         # the input block is dead after the kernel (the block's output replaces
         # it in the layer chain) — aliasing halves the padded HBM footprint
@@ -254,10 +299,10 @@ def fused_swin_block(
             transcendentals=Wp * (nH * N * N + N * mlp_hidden),
         ),
         interpret=interpret,
-    )(x, ln1_s, ln1_b, wqkv, bqkv, rel_bias, wproj, bproj, ln2_s, ln2_b, w1, b1, w2, b2)
+    )(*args)
 
     if pad:
-        out = out[: Rt]
+        out = out[:Rt]
     return out
 
 

@@ -233,3 +233,80 @@ def test_padded_grid_fused_matches():
         )
     finally:
         del os.environ["SWINWNET_FUSED_INTERPRET"]
+
+
+def test_rowmajor_mask_matches_reference_zeroed():
+    """Row-major kernel with a pad mask == reference run on post-LN-zeroed
+    pad slots (the pad-after-norm semantics, SwinWNet.py:243-253): build the
+    expected output by masking inside a modified reference."""
+    rng = np.random.default_rng(7)
+    C, nH, Wt = 192, 12, 6
+    x2 = jnp.asarray(rng.standard_normal((Wt * N, C)), jnp.float32)
+    args = _make_args(rng, C, nH, jnp.float32)
+    mask = (rng.uniform(size=(Wt * N, 1)) > 0.3).astype(np.float32)
+    mask[: N] = 1.0  # keep at least one fully-real window
+    maskj = jnp.asarray(mask)
+
+    # reference with the same post-LN1 zeroing applied manually
+    import swinwnet_tpu.ops.pallas.swin_block as sb
+
+    x32 = x2
+    y = sb._ln(x32, args["ln1_s"], args["ln1_b"]) * maskj
+    qkv = y @ args["wqkv"] + args["bqkv"]
+    hd = C // nH
+    q = qkv[:, :C].reshape(Wt, N, nH, hd).transpose(0, 2, 1, 3)
+    k = qkv[:, C : 2 * C].reshape(Wt, N, nH, hd).transpose(0, 2, 1, 3)
+    v = qkv[:, 2 * C :].reshape(Wt, N, nH, hd).transpose(0, 2, 1, 3)
+    attn = jnp.einsum("whnd,whmd->whnm", q, k) * (hd**-0.5) + args["rel_bias"][None]
+    attn = jax.nn.softmax(attn, axis=-1)
+    o = jnp.einsum("whnm,whmd->whnd", attn, v).transpose(0, 2, 1, 3).reshape(Wt * N, C)
+    x32 = x32 + o @ args["wproj"] + args["bproj"]
+    y2 = sb._ln(x32, args["ln2_s"], args["ln2_b"])
+    hmid = jax.nn.gelu(y2 @ args["w1"] + args["b1"], approximate=False)
+    ref = x32 + hmid @ args["w2"] + args["b2"]
+
+    out = fused_swin_block(
+        x2, *args.values(), num_heads=nH, window_tokens=N,
+        pad_mask=maskj, block_windows=2, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=5e-4 * float(jnp.abs(ref).max())
+    )
+
+
+def test_rowmajor_mlp_hidden_chunking():
+    """Forcing a large BW triggers the hidden-dim-chunked MLP path; output
+    must match the unchunked reference exactly (fp32, same contraction
+    order within each chunk)."""
+    rng = np.random.default_rng(8)
+    C, nH, Wt = 384, 24, 16
+    x2 = jnp.asarray(rng.standard_normal((Wt * N, C)), jnp.float32)
+    args = _make_args(rng, C, nH, jnp.float32)
+    ref = swin_block_reference(x2, *args.values(), num_heads=nH, window_tokens=N)
+    # BW=16 -> R=400 -> fp32 hidden 400x1536 = 2.46 MB > 2 MB threshold
+    # -> hchunk 1280 (one full + one 256 tail chunk)
+    out = fused_swin_block(
+        x2, *args.values(), num_heads=nH, window_tokens=N,
+        block_windows=16, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=5e-4 * float(jnp.abs(ref).max())
+    )
+
+
+@pytest.mark.parametrize("C,nH", [(192, 12), (384, 24), (384, 12), (192, 6)])
+def test_deep_level_routing_padded_grid(C, nH):
+    """C=192/384 levels (round 3) route through the masked row-major kernel
+    on non-tiling grids and must match the unfused layer."""
+    os.environ["SWINWNET_FUSED_INTERPRET"] = "1"
+    try:
+        rng = np.random.default_rng(C + nH)
+        x = jnp.asarray(rng.standard_normal((1, 8, 15, C)), jnp.float32)  # 8 -> pad 10
+        m0 = BasicLayer(dim=C, depth=1, num_heads=nH, window_size=5, use_pallas=False)
+        m1 = BasicLayer(dim=C, depth=1, num_heads=nH, window_size=5, use_pallas=True)
+        v = m0.init(jax.random.PRNGKey(0), x)
+        y0 = np.asarray(m0.apply(v, x))
+        y1 = np.asarray(m1.apply(v, x))
+        np.testing.assert_allclose(y0, y1, rtol=0, atol=5e-4 * float(np.abs(y0).max()))
+    finally:
+        del os.environ["SWINWNET_FUSED_INTERPRET"]
