@@ -578,11 +578,7 @@ class SwinTransformerBlock(nn.Module):
                              channels-major kernel, uniform ~1.28x HBM
                              padding — the only fusable layout for the
                              SR-head C=12/24 levels."""
-        from ..ops.pallas.swin_block import (
-            fused_swin_block,
-            fused_swin_block_cst,
-            fused_swin_block_wide,
-        )
+        from ..ops.pallas.swin_block import fused_block_autodiff
 
         C = self.dim
         N = self.window_size * self.window_size
@@ -619,48 +615,42 @@ class SwinTransformerBlock(nn.Module):
             w2=k2.astype(self.dtype),
             b2=bb2.astype(jnp.float32),
         )
+        # every call goes through the custom-VJP entry point: the primal is
+        # the fused kernel; under jax.grad the backward rematerializes
+        # through the pure-XLA reference — so use_pallas=True is trainable
         if layout == "nmajor":
-            return fused_swin_block_wide(
-                x.astype(self.dtype),
-                *weights.values(),
-                num_heads=self.num_heads,
-                interpret=interp,
+            return fused_block_autodiff(
+                "nmajor", self.num_heads, N, False, (8, interp),
+                x.astype(self.dtype), *weights.values(),
             )
         if layout == "cmajor":
             for k in ("wqkv", "w1", "w2"):  # wproj stays [in, out] (row slices)
                 weights[k] = jnp.swapaxes(weights[k], 0, 1)
             hd = C // self.num_heads
             m = _window_pad_mask_np(*self.grid_hw, self.window_size)
-            mask = None
+            mask = ()
             if m is not None:  # [nW, N, 1] per sample -> [N, B*nW] c-major
                 nW = m.shape[0]
                 Bv = x.shape[2] // nW
-                mask = jnp.asarray(np.tile(m[:, :, 0].T, (1, Bv)))
-            return fused_swin_block_cst(
-                x.astype(self.dtype),
-                *weights.values(),
-                num_heads=self.num_heads,
-                pad_mask=mask,
-                # wide score chunks win big (fewer [sc,N,N,BW] partial
-                # accumulations: sc=4 measured 5x SLOWER than sc=16 at L0);
-                # the C>=96 fori_loop path is capped at 8 for scoped VMEM
-                # and 8-multiple slice alignment
-                score_chunk=min(16, hd) if C <= 48 else 8,
-                interpret=interp,
+                mask = (jnp.asarray(np.tile(m[:, :, 0].T, (1, Bv))),)
+            # wide score chunks win big (fewer [sc,N,N,BW] partial
+            # accumulations: sc=4 measured 5x SLOWER than sc=16 at L0);
+            # the C>=96 fori_loop path is capped at 8 for scoped VMEM
+            # and 8-multiple slice alignment
+            return fused_block_autodiff(
+                "cmajor", self.num_heads, N, bool(mask),
+                (min(16, hd) if C <= 48 else 8, interp),
+                x.astype(self.dtype), *mask, *weights.values(),
             )
         m = _window_pad_mask_np(*self.grid_hw, self.window_size)
-        mask = None
+        mask = ()
         if m is not None:  # [nW, N, 1] per sample -> [B*nW*N, 1] row-major
             nW = m.shape[0]
             Bv = x.shape[0] // nW
-            mask = jnp.asarray(np.tile(m, (Bv, 1, 1)).reshape(-1, 1))
-        out = fused_swin_block(
-            x.reshape(-1, C).astype(self.dtype),
-            *weights.values(),
-            num_heads=self.num_heads,
-            window_tokens=N,
-            pad_mask=mask,
-            interpret=interp,
+            mask = (jnp.asarray(np.tile(m, (Bv, 1, 1)).reshape(-1, 1)),)
+        out = fused_block_autodiff(
+            "rowmajor", self.num_heads, N, bool(mask), (8, interp),
+            x.reshape(-1, C).astype(self.dtype), *mask, *weights.values(),
         )
         return out.reshape(x.shape)
 

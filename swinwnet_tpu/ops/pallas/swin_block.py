@@ -756,10 +756,12 @@ def fused_swin_block_cst(
 
 def swin_block_reference(
     x, ln1_s, ln1_b, wqkv, bqkv, rel_bias, wproj, bproj, ln2_s, ln2_b, w1, b1, w2, b2,
-    num_heads: int, window_tokens: int,
+    num_heads: int, window_tokens: int, pad_mask=None,
 ):
     """Plain-XLA fp32 reference of the fused block (same math, same
-    precision choices) for kernel validation."""
+    precision choices) for kernel validation and for the custom-VJP
+    backward recompute (`fused_block_autodiff`). `pad_mask` [Wt*N, 1]
+    reproduces the kernels' post-LN1 pad-slot zeroing."""
     N = window_tokens
     Rt, C = x.shape
     Wt = Rt // N
@@ -768,6 +770,8 @@ def swin_block_reference(
 
     x32 = x.astype(jnp.float32)
     y = _ln(x32, ln1_s, ln1_b)
+    if pad_mask is not None:
+        y = y * pad_mask
     qkv = y @ wqkv.astype(jnp.float32) + bqkv
     q = qkv[:, :C].reshape(Wt, N, nH, hd).transpose(0, 2, 1, 3)
     k = qkv[:, C : 2 * C].reshape(Wt, N, nH, hd).transpose(0, 2, 1, 3)
@@ -781,3 +785,101 @@ def swin_block_reference(
     hmid = jax.nn.gelu(y2 @ w1.astype(jnp.float32) + b1, approximate=False)
     x32 = x32 + hmid @ w2.astype(jnp.float32) + b2
     return x32.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable entry point: fused forward, XLA-recompute backward
+# ---------------------------------------------------------------------------
+
+
+def _layout_xla_block(layout, num_heads, window_tokens, x, mask, *weights):
+    """Pure-XLA fp32 re-expression of the fused kernels' math for any I/O
+    layout — the backward-recompute function for `fused_block_autodiff`.
+    Converts x/mask/weights to the canonical row-major layout, runs the
+    (masked) reference block, and converts the output back."""
+    N = window_tokens
+    weights = list(weights)
+    if layout == "cmajor":
+        C, _, Wt = x.shape
+        x2 = jnp.transpose(x, (2, 1, 0)).reshape(Wt * N, C)
+        m2 = None if mask is None else mask.T.reshape(-1, 1)
+        for i in (2, 9, 11):  # wqkv, w1, w2 arrive transposed on this path
+            weights[i] = jnp.swapaxes(weights[i], 0, 1)
+        out = swin_block_reference(
+            x2, *weights, num_heads=num_heads, window_tokens=N, pad_mask=m2
+        )
+        return jnp.transpose(out.reshape(Wt, N, C), (2, 1, 0))
+    if layout == "nmajor":
+        _, Wt, C = x.shape
+        x2 = jnp.transpose(x, (1, 0, 2)).reshape(Wt * N, C)
+        out = swin_block_reference(
+            x2, *weights, num_heads=num_heads, window_tokens=N, pad_mask=None
+        )
+        return jnp.transpose(out.reshape(Wt, N, C), (1, 0, 2))
+    # rowmajor: x is [Wt*N, C], mask already [Wt*N, 1]
+    return swin_block_reference(
+        x, *weights, num_heads=num_heads, window_tokens=N, pad_mask=mask
+    )
+
+
+def _fused_kernel_call(layout, num_heads, window_tokens, opts, x, mask, *weights):
+    score_chunk, interpret = opts
+    if layout == "cmajor":
+        return fused_swin_block_cst(
+            x, *weights, num_heads=num_heads, pad_mask=mask,
+            score_chunk=score_chunk, interpret=interpret,
+        )
+    if layout == "nmajor":
+        return fused_swin_block_wide(
+            x, *weights, num_heads=num_heads,
+            score_chunk=score_chunk, interpret=interpret,
+        )
+    return fused_swin_block(
+        x, *weights, num_heads=num_heads, window_tokens=window_tokens,
+        pad_mask=mask, interpret=interpret,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def fused_block_autodiff(layout, num_heads, window_tokens, has_mask, opts, x, *args):
+    """Differentiable fused Swin block: the primal is the fused Pallas
+    kernel for `layout` ("rowmajor" | "nmajor" | "cmajor"); the backward
+    rematerializes through the pure-XLA reference of the same math
+    (fp32 — training precision) and differentiates that. This is the
+    standard recompute trade: training forwards get the kernels' one-HBM-
+    read/one-write profile, the backward is left to XLA (which remat was
+    already recomputing op-by-op).
+
+    args = (mask?, ln1_s, ln1_b, wqkv, bqkv, rel_bias, wproj, bproj,
+            ln2_s, ln2_b, w1, b1, w2, b2); mask present iff has_mask.
+    opts = (score_chunk, interpret).
+    """
+    mask = args[0] if has_mask else None
+    weights = args[1:] if has_mask else args
+    return _fused_kernel_call(layout, num_heads, window_tokens, opts, x, mask, *weights)
+
+
+def _fused_block_fwd(layout, num_heads, window_tokens, has_mask, opts, x, *args):
+    out = fused_block_autodiff(layout, num_heads, window_tokens, has_mask, opts, x, *args)
+    return out, (x, args)
+
+
+def _fused_block_bwd(layout, num_heads, window_tokens, has_mask, opts, res, g):
+    x, args = res
+    mask = args[0] if has_mask else None
+    weights = args[1:] if has_mask else args
+
+    def f(x, *weights):
+        return _layout_xla_block(layout, num_heads, window_tokens, x, mask, *weights)
+
+    _, vjp = jax.vjp(f, x, *weights)
+    grads = vjp(g.astype(jnp.float32))
+    gx, gw = grads[0], grads[1:]
+    gx = gx.astype(x.dtype)
+    gw = tuple(gi.astype(wi.dtype) for gi, wi in zip(gw, weights))
+    if has_mask:
+        return (gx, jnp.zeros_like(mask)) + gw
+    return (gx,) + gw
+
+
+fused_block_autodiff.defvjp(_fused_block_fwd, _fused_block_bwd)

@@ -310,3 +310,33 @@ def test_deep_level_routing_padded_grid(C, nH):
         np.testing.assert_allclose(y0, y1, rtol=0, atol=5e-4 * float(np.abs(y0).max()))
     finally:
         del os.environ["SWINWNET_FUSED_INTERPRET"]
+
+
+@pytest.mark.parametrize("C,nH,grid", [(48, 3, (8, 15)), (192, 12, (8, 15)), (12, 3, (10, 15))])
+def test_fused_gradients_match_unfused(C, nH, grid):
+    """use_pallas=True is trainable (round 3): the custom-VJP backward
+    (XLA recompute of the kernel math) must match the unfused layer's
+    gradients wrt params and input on padded and exact grids."""
+    os.environ["SWINWNET_FUSED_INTERPRET"] = "1"
+    try:
+        rng = np.random.default_rng(C)
+        x = jnp.asarray(rng.standard_normal((1, *grid, C)), jnp.float32)
+        ct = jnp.asarray(rng.standard_normal((1, *grid, C)), jnp.float32)
+        m0 = BasicLayer(dim=C, depth=1, num_heads=nH, window_size=5, use_pallas=False)
+        m1 = BasicLayer(dim=C, depth=1, num_heads=nH, window_size=5, use_pallas=True)
+        v = m0.init(jax.random.PRNGKey(0), x)
+
+        def loss(m):
+            def f(params, x):
+                return jnp.sum(m.apply({"params": params}, x) * ct)
+            return jax.grad(f, argnums=(0, 1))(v["params"], x)
+
+        g0, gx0 = loss(m0)
+        g1, gx1 = loss(m1)
+        scale = float(np.abs(np.asarray(gx0)).max())
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0), rtol=0, atol=1e-4 * scale)
+        for p0, p1 in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            s = max(float(np.abs(np.asarray(p0)).max()), 1e-9)
+            np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), rtol=0, atol=2e-4 * s)
+    finally:
+        del os.environ["SWINWNET_FUSED_INTERPRET"]
