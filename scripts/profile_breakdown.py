@@ -124,6 +124,39 @@ def main():
     timeit(f"  WindowAttention unchunked [{xw.shape[0]},25,48]", lambda vv, a: attn2.apply(vv, a), va, xw)
     timeit("  window_partition+reverse", lambda a: window_partition(a, 5)[0], xx)
 
+    # --- glue ops at the real shapes (round-3 lever sizing): the inter-level
+    # [B,H,W,C] tensors are C-minor, so XLA lane-pads them 128/C-fold; these
+    # rows price each relayout / resample that touches them ---
+    from swinwnet_tpu.models.layers import PatchExpanding, PatchMerging, ScaleAwarePatchEmbed
+    from swinwnet_tpu.ops.window import window_partition_cmajor, window_reverse_cmajor
+
+    for (h, w, c, bb, lbl) in [
+        (125, 240, 48, B, "L0  [125,240,48]"),
+        (250, 480, 24, B, "SR1 [250,480,24]"),
+        (500, 960, 12, min(B, 16), "SR2 [500,960,12]"),
+    ]:
+        xx = jnp.asarray(rng.standard_normal((bb, h, w, c)), DTYPE)
+        timeit(f"  partition_cmajor B={bb} {lbl}", lambda a: window_partition_cmajor(a, 5)[0], xx)
+        xc, (hp, wp) = window_partition_cmajor(xx, 5)
+        timeit(f"  reverse_cmajor   B={bb} {lbl}", lambda a: window_reverse_cmajor(a, 5, hp, wp), xc)
+
+    for (h, w, c, bb, lbl) in [(125, 240, 48, B, "L0"), (63, 120, 96, B, "L1")]:
+        xx = jnp.asarray(rng.standard_normal((bb, h, w, c)), DTYPE)
+        pm = PatchMerging(dim=c, dtype=DTYPE)
+        vpm = pm.init(jax.random.PRNGKey(0), xx)
+        timeit(f"  PatchMerging {lbl} [{h},{w},{c}]", lambda vv, a: pm.apply(vv, a), vpm, xx)
+
+    for (h, w, c, bb, lbl) in [(250, 480, 24, B, "SR1->SR2"), (125, 240, 48, B, "dec L0")]:
+        xx = jnp.asarray(rng.standard_normal((bb, h, w, c)), DTYPE)
+        pe = PatchExpanding(dim=c, dtype=DTYPE)
+        vpe = pe.init(jax.random.PRNGKey(0), xx)
+        timeit(f"  PatchExpanding {lbl} [{h},{w},{c}]", lambda vv, a: pe.apply(vv, a), vpe, xx)
+
+    emb = ScaleAwarePatchEmbed(embed_dim=48, in_chans=2, dtype=DTYPE)
+    xe = jnp.asarray(rng.standard_normal((B, 2, 250, 480)), jnp.float32)
+    ve = emb.init(jax.random.PRNGKey(0), xe)
+    timeit("  ScaleAwarePatchEmbed [B,2,250,480]", lambda vv, a: emb.apply(vv, a), ve, xe)
+
     print(f"\nFULL: {total*1e3:.1f} ms -> {B/total:.1f} img/s")
 
 

@@ -9,6 +9,7 @@ formulation at every shipped shape and had a known hd=32 Mosaic miscompile
 """
 
 from .swin_block import (
+    fused_block_autodiff,
     fused_swin_block,
     fused_swin_block_cst,
     fused_swin_block_wide,
@@ -16,6 +17,7 @@ from .swin_block import (
 )
 
 __all__ = [
+    "fused_block_autodiff",
     "fused_swin_block",
     "fused_swin_block_cst",
     "fused_swin_block_wide",
