@@ -15,9 +15,11 @@ carries a `records` list with the full matrix:
 Each record is measured over an adaptively-sized loop targeting >=30 s of
 steady state (SWINWNET_BENCH_TARGET_S overrides; set 2 for smoke runs).
 Serving iterations are serialized through a data dependency (each step's
-input mixes in the previous output) and each timed loop ends with a host
-fetch — `block_until_ready` alone under-reports on tunneled/experimental
-PJRT backends. Training iterations chain through the optimizer state.
+input mixes in the previous output) and each timed loop ends with an
+on-device scalar reduction fetched to the host — `block_until_ready` alone
+under-reports on tunneled/experimental PJRT backends, while fetching a full
+output tensor would bill a ~235 MB tunnel transfer to the timed region.
+Training iterations chain through the optimizer state.
 
 Serving mode: bfloat16 compute + chunked window attention (binarized masks
 agree with fp32 on >99% of pixels — tests/test_modes.py). Training runs the
@@ -57,13 +59,17 @@ def _bench_serving(step, variables, x, batch, target_s):
     import jax  # noqa: F401
 
     y = step(variables, x)
-    _ = float(np.asarray(y).ravel()[0])  # warmup + compile barrier
+    _ = float(y.sum())  # warmup + compile barrier
 
     def run(n):
         yy = step(variables, x)
         for _ in range(n - 1):
             yy = step(variables, yy)
-        _ = float(np.asarray(yy).ravel()[0])
+        # completion barrier: reduce ON DEVICE and fetch 4 bytes. Fetching
+        # the raw output (np.asarray) would drag the whole [B,2,H,W] tensor
+        # through the tunnel inside the timed region — measured ~14 img/s
+        # of phantom loss at B=64 (235 MB/fetch).
+        _ = float(yy.sum())
 
     iters, _ = _steady_iters(run, target_s)
     t0 = time.perf_counter()

@@ -104,7 +104,7 @@ def main():
     args = p.parse_args()
 
     from swinwnet_tpu.data import ArrayLoader
-    from swinwnet_tpu.data.noise import add_eval_noise
+    from swinwnet_tpu.data.noise import add_eval_noise, make_train_noise_augment
     from swinwnet_tpu.evalharness import MetricsCalculator, write_results_json
     from swinwnet_tpu.evalharness.regression import compare_with_baseline, load_baseline_arrays
     from swinwnet_tpu.models import SwinWNet
@@ -142,8 +142,22 @@ def main():
     print(f"train {train_images.shape}, eval {eval_images.shape} "
           f"({time.time()-t_start:.0f}s)")
 
-    train_loader = ArrayLoader(train_images, train_masks, batch_size=args.batch, shuffle=True)
-    val_loader = ArrayLoader(eval_images, eval_masks, batch_size=args.batch)
+    # Train-time additive-noise augmentation (round-3 fix): the eval protocol
+    # injects N(100, 20) into every test pattern, and the real McStas data the
+    # published weights saw carries comparable instrument background; bare
+    # synthetic renders do not, and the QUALITY_r03 model (train HR-IoU 0.97)
+    # over-dilated to recall=1.0/precision=0.39 under that shift. Randomized
+    # per-batch noise levels (mu ~ U(0, 150), sigma = 0.2*mu) make the train
+    # distribution cover the protocol; the val loader gets the protocol's
+    # exact mu=100 so val losses track the actual eval target.
+    train_loader = ArrayLoader(
+        train_images, train_masks, batch_size=args.batch, shuffle=True,
+        augment=make_train_noise_augment(),
+    )
+    val_loader = ArrayLoader(
+        eval_images, eval_masks, batch_size=args.batch,
+        augment=make_train_noise_augment(mu_range=(100.0, 100.0)),
+    )
 
     import jax.numpy as jnp
 

@@ -82,6 +82,7 @@ class ArrayLoader:
         shuffle: bool = False,
         drop_last: bool = False,
         seed: int = 0,
+        augment=None,
     ):
         self.images = np.asarray(images, dtype=np.float32)
         if self.images.ndim == 3:
@@ -91,6 +92,10 @@ class ArrayLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
+        # optional per-batch image augmentation: augment(rng, images) ->
+        # images, with an rng derived from (seed, epoch, batch start) so
+        # epochs see fresh noise but runs stay reproducible
+        self.augment = augment
         self._epoch = 0
 
     @property
@@ -105,15 +110,18 @@ class ArrayLoader:
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
         idx = np.arange(self.n_samples)
+        epoch = self._epoch
         if self.shuffle:
-            rng = np.random.default_rng(self.seed + self._epoch)
+            rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(idx)
             self._epoch += 1
-        end = len(self) * self.batch_size if not self.drop_last else len(self) * self.batch_size
         for start in range(0, len(self) * self.batch_size, self.batch_size):
             batch_idx = idx[start : start + self.batch_size]
             if len(batch_idx) == 0:
                 break
             images = self.images[batch_idx]
+            if self.augment is not None:
+                aug_rng = np.random.default_rng((self.seed, epoch, start))
+                images = self.augment(aug_rng, images)
             masks = None if self.masks is None else self.masks[batch_idx]
             yield images, masks

@@ -703,12 +703,17 @@ class BasicLayer(nn.Module):
             #   any C-in-lanes layout) — essential for the SR-head C=12/24
             #   levels (largest token grids, 5-11x tax otherwise).
             # * C = 192/384 levels (round 3): the channels-major buffers
-            #   cannot fit scoped VMEM at the 128-lane minimum legal block,
-            #   but the ROW-MAJOR kernel ([Wt*N, C], C in lanes) fits via its
-            #   VMEM-sized BW and pads only 1.33x/1.0x there — and with pad
-            #   masks (these grids don't tile by the window) it now covers
-            #   them. SWINWNET_FUSED_DEEP=0 restores the XLA path.
-            fuse_deep = os.environ.get("SWINWNET_FUSED_DEEP", "1") != "0"
+            #   cannot fit scoped VMEM at the 128-lane minimum legal block;
+            #   the ROW-MAJOR kernel ([Wt*N, C], C in lanes) fits via its
+            #   VMEM-sized BW, pads only 1.33x/1.0x there, and covers the
+            #   non-tiling grids via pad masks — but MEASURED END TO END IT
+            #   LOSES to XLA (full pipeline B=64 bf16: 32.3 -> 26.2 img/s,
+            #   config-#1 segmentation 38.7 -> 36.4; the deep levels are
+            #   few-window and matmul-dominated, and the kernel's per-window
+            #   25x25 dots underfill the MXU — same reason rowmajor lost at
+            #   C<=96 in round 2). Default OFF; SWINWNET_FUSED_DEEP=1
+            #   enables it for A/B.
+            fuse_deep = os.environ.get("SWINWNET_FUSED_DEEP", "0") == "1"
             fusable = (
                 self.use_pallas
                 and deterministic

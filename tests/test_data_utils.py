@@ -46,6 +46,21 @@ class TestLoader:
         noised = add_eval_noise(x, mu=100, sigma=20, seed=0)
         assert 80 < noised.mean() < 120
 
+    def test_augment_hook(self):
+        from swinwnet_tpu.data.noise import make_train_noise_augment
+
+        images = np.zeros((8, 1, 4, 6), np.float32)
+        aug = make_train_noise_augment(mu_range=(100.0, 100.0))
+        l1 = ArrayLoader(images, batch_size=4, augment=aug, seed=7)
+        l2 = ArrayLoader(images, batch_size=4, augment=aug, seed=7)
+        (a1, _), (b1, _) = list(l1)[0], list(l2)[0]
+        np.testing.assert_array_equal(a1, b1)  # same seed/epoch -> same noise
+        assert 80 < a1.mean() < 120
+        # masks are untouched and a later batch draws different noise
+        batches = list(ArrayLoader(images, images[:, 0], batch_size=4, augment=aug))
+        assert not np.allclose(batches[0][0], batches[1][0])
+        np.testing.assert_array_equal(batches[0][1], np.zeros((4, 4, 6)))
+
 
 class TestOps:
     def test_window_roundtrip(self):

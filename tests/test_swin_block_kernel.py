@@ -297,8 +297,11 @@ def test_rowmajor_mlp_hidden_chunking():
 @pytest.mark.parametrize("C,nH", [(192, 12), (384, 24), (384, 12), (192, 6)])
 def test_deep_level_routing_padded_grid(C, nH):
     """C=192/384 levels (round 3) route through the masked row-major kernel
-    on non-tiling grids and must match the unfused layer."""
+    on non-tiling grids and must match the unfused layer. (Deep fusion is
+    default-off — measured slower end to end than XLA at these levels — so
+    the gate env is set explicitly here.)"""
     os.environ["SWINWNET_FUSED_INTERPRET"] = "1"
+    os.environ["SWINWNET_FUSED_DEEP"] = "1"
     try:
         rng = np.random.default_rng(C + nH)
         x = jnp.asarray(rng.standard_normal((1, 8, 15, C)), jnp.float32)  # 8 -> pad 10
@@ -310,6 +313,7 @@ def test_deep_level_routing_padded_grid(C, nH):
         np.testing.assert_allclose(y0, y1, rtol=0, atol=5e-4 * float(np.abs(y0).max()))
     finally:
         del os.environ["SWINWNET_FUSED_INTERPRET"]
+        del os.environ["SWINWNET_FUSED_DEEP"]
 
 
 @pytest.mark.parametrize("C,nH,grid", [(48, 3, (8, 15)), (192, 12, (8, 15)), (12, 3, (10, 15))])
@@ -318,6 +322,7 @@ def test_fused_gradients_match_unfused(C, nH, grid):
     (XLA recompute of the kernel math) must match the unfused layer's
     gradients wrt params and input on padded and exact grids."""
     os.environ["SWINWNET_FUSED_INTERPRET"] = "1"
+    os.environ["SWINWNET_FUSED_DEEP"] = "1"  # exercise the C=192 fused route
     try:
         rng = np.random.default_rng(C)
         x = jnp.asarray(rng.standard_normal((1, *grid, C)), jnp.float32)
@@ -340,3 +345,4 @@ def test_fused_gradients_match_unfused(C, nH, grid):
             np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), rtol=0, atol=2e-4 * s)
     finally:
         del os.environ["SWINWNET_FUSED_INTERPRET"]
+        del os.environ["SWINWNET_FUSED_DEEP"]
