@@ -114,7 +114,14 @@ def main():
     from swinwnet_tpu.pipelines.inference import inference_stages
     from swinwnet_tpu.utils import enable_persistent_cache
 
-    enable_persistent_cache()
+    cache_dir = enable_persistent_cache()
+    cache_entries = len(os.listdir(cache_dir)) if cache_dir else 0
+    print(
+        f"# compile cache: {'OFF' if not cache_dir else cache_dir} "
+        f"({cache_entries} entries — {'warm' if cache_entries else 'cold'} start)",
+        flush=True,
+    )
+    t_first = time.perf_counter()
 
     only = {s for s in os.environ.get("SWINWNET_BENCH_CONFIGS", "").split(",") if s}
 
@@ -240,6 +247,11 @@ def main():
         "dtype": head["dtype"],
         "use_pallas": head.get("use_pallas", False),
         "target_steady_state_s": TARGET_S,
+        "compile_cache": {
+            "dir": cache_dir,
+            "entries_at_start": cache_entries,
+            "wall_s_total": round(time.perf_counter() - t_first, 1),
+        },
         "records": records,
     }
     if "mfu_pct" in head:

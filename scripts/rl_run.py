@@ -118,9 +118,15 @@ def main():
     print(json.dumps(pre_summary))
 
     # ---- RL fine-tune (REINFORCE + supervised L1, two optimizers) ----
+    # same additive-noise augmentation as the supervised quality run: the
+    # real patterns the reference RL-tunes on carry instrument background
+    # that bare synthetic renders lack (see quality_run.py)
+    from swinwnet_tpu.data.noise import make_train_noise_augment
+
     train_loader = ArrayLoader(
         train_images, np.zeros_like(train_images, dtype=np.uint8),
         batch_size=args.batch, shuffle=True,
+        augment=make_train_noise_augment(),
     )
     trainer = RLTrainer(
         model, params, policy, policy_params, train_loader,
