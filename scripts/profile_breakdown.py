@@ -36,7 +36,8 @@ def timeit(name, fn, *args, iters=ITERS):
     """fn(*args) -> pytree; chained through a scalar data dependency."""
     jfn = jax.jit(lambda eps, *a: jnp.asarray(
         jax.tree_util.tree_reduce(
-            lambda acc, t: acc + t.astype(jnp.float32).sum(), fn(*a), 0.0
+            lambda acc, t: acc + (t.astype(jnp.float32).sum() if hasattr(t, "astype") else 0.0),
+            fn(*a), 0.0
         ), jnp.float32))
     eps = jnp.float32(0.0)
     out = jfn(eps, *args)

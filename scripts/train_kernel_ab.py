@@ -44,13 +44,16 @@ def main():
         )
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 250, 480)))["params"]
         out = {}
-        for name, mk in (
-            ("stage1", lambda: make_stage1_step(model, masked_adamw(params, "stage1", 1e-4), combined_loss)),
-            ("stage3_odd", lambda: make_stage3_steps(
-                model, masked_adamw(params, "stage3", 1e-4), combined_loss, smooth_l1_loss)[1]),
+        for name, stage, mk in (
+            ("stage1", "stage1", lambda tx: make_stage1_step(model, tx, combined_loss)),
+            ("stage3_odd", "stage3", lambda tx: make_stage3_steps(
+                model, tx, combined_loss, smooth_l1_loss)[1]),
         ):
-            step = mk()
-            state = TrainState.create(params, masked_adamw(params, "stage3", 1e-4))
+            # the step and the state MUST share one masked transform: the
+            # masked opt-state pytree structure differs per stage
+            tx = masked_adamw(params, stage, 1e-4)
+            step = mk(tx)
+            state = TrainState.create(params, tx)
             t0 = time.perf_counter()
             s, _ = step(state, images, masks)
             _ = float(np.asarray(s.step))

@@ -43,12 +43,15 @@ LEVELS = {
 
 
 def timeit(fn, *args):
+    # completion barrier = on-device scalar reduce + 4-byte fetch; fetching
+    # the raw output would bill a multi-100MB tunnel transfer to the loop
+    # (the round-3 bench.py pitfall, PERFORMANCE.md)
     out = fn(*args)
-    _ = float(np.asarray(out).ravel()[0])
+    _ = float(jnp.sum(out))
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = fn(*args)
-    _ = float(np.asarray(out).ravel()[0])
+    _ = float(jnp.sum(out))
     return (time.perf_counter() - t0) / ITERS
 
 

@@ -714,17 +714,23 @@ class BasicLayer(nn.Module):
             #   C<=96 in round 2). Default OFF; SWINWNET_FUSED_DEEP=1
             #   enables it for A/B.
             fuse_deep = os.environ.get("SWINWNET_FUSED_DEEP", "0") == "1"
+            # fp32 (training precision) doubles every kernel buffer: at C=96
+            # the fori-loop cmajor kernel's scoped-VMEM stack measures 16.8 MB
+            # against the 16 MB limit (fine in bf16: ~8.4 MB), so fp32 keeps
+            # C=96 on XLA; C<=48 and the SR levels — the HBM-dominant ones —
+            # stay fused in training too.
+            fp32_cap = 48 if self.dtype != jnp.bfloat16 else 96
             fusable = (
                 self.use_pallas
                 and deterministic
-                and (self.dim <= 96 or (fuse_deep and self.dim <= 384))
+                and (self.dim <= fp32_cap or (fuse_deep and self.dim <= 384))
                 and (
                     jax.default_backend() == "tpu"
                     or bool(os.environ.get("SWINWNET_FUSED_INTERPRET"))
                 )
             )
             if fusable:
-                if self.dim <= 96:
+                if self.dim <= fp32_cap:
                     # "nmajor" (wide-lane, [N, Wt, C]) is kept for A/B via
                     # env; it has no mask support, so padded grids fall back.
                     fused_layout = os.environ.get("SWINWNET_FUSED_LAYOUT", "cmajor")

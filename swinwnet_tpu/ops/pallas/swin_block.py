@@ -641,8 +641,13 @@ def _pick_block_windows_cst(C: int) -> int:
     multiple of 128, so the only lever against the scoped-VMEM limit as C
     grows is chunking inside the kernel (see the MLP token chunking); above
     C=96 the buffers cannot fit at any legal BW and the caller keeps those
-    (cheap, few-window) levels on the XLA path."""
-    return 256 if C <= 24 else 128
+    (cheap, few-window) levels on the XLA path.
+
+    BW=128 everywhere: the round-3 sweep (scripts/tune_fused_blocks.py)
+    measured 128 faster than 256 at the SR levels too (SR1 36.8 vs 39.7 ms,
+    SR2 19.5 vs 20.1 ms at the shipped score chunks) — the kernel is
+    VPU-ALU-bound, so smaller blocks just pipeline better."""
+    return 128
 
 
 @functools.partial(
