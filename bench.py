@@ -9,6 +9,7 @@ carries a `records` list with the full matrix:
 * full_b1_bf16       — single-image serving latency (ms/image)
 * full_b8_fp32       — fp32 parity-precision config (the round-1 anchor shape)
 * seg_only_b64_bf16  — segmentation-only BASELINE config #1 (SwinUNet)
+* rl_full_b64_bf16   — RL alpha-policy pipeline, BASELINE config #5
 * train_stage1_b4    — stage-1 supervised train step (fwd+bwd+masked-AdamW)
 * train_stage3_odd_b4— stage-3 joint odd step (all three towers + update)
 
@@ -201,6 +202,33 @@ def main():
             "steady_state_s": round(dt, 1),
         })
         print(f"# seg_only_b64_bf16: {ips:.2f} img/s ({iters} iters, {dt:.0f}s)", flush=True)
+
+    # ---------------- RL alpha-policy pipeline (config #5) ----------------
+    if want("rl_full_b64_bf16"):
+        from swinwnet_tpu.models.alpha_policy import AlphaPolicy
+        from swinwnet_tpu.pipelines.rl_inference import rl_inference_stages
+
+        model = wnet(jnp.bfloat16, True)
+        policy = AlphaPolicy()
+        batch = 64
+        x = jnp.asarray(rng.uniform(0, 1e3, (batch, 2, 250, 480)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x[:1])
+        pv = policy.init(jax.random.PRNGKey(1), jnp.zeros((1, 2, 125, 240)))
+
+        @jax.jit
+        def rl_step(variables, pv, x):
+            out = rl_inference_stages(model, policy, variables, pv, x)["images_masked_hr"]
+            return x + 1e-12 * out[:, :, :250, :480].sum().astype(jnp.float32)
+
+        step = lambda v, xx: rl_step(v, pv, xx)
+        ips, iters, dt = _bench_serving(step, variables, x, batch, TARGET_S)
+        records.append({
+            "name": "rl_full_b64_bf16", "kind": "serving_config5_rl_pipeline",
+            "batch": batch, "dtype": "bfloat16", "use_pallas": True,
+            "images_per_sec": round(ips, 2), "iters": iters,
+            "steady_state_s": round(dt, 1),
+        })
+        print(f"# rl_full_b64_bf16: {ips:.2f} img/s ({iters} iters, {dt:.0f}s)", flush=True)
 
     # ---------------- training steps (quality-run config) ----------------
     if want("train_stage1_b4") or want("train_stage3_odd_b4"):
