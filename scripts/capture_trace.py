@@ -25,17 +25,20 @@ rng = np.random.default_rng(0)
 
 
 def main():
+    use_pallas = os.environ.get("SWINWNET_TRACE_PALLAS", "1") != "0"
     if WHAT == "full":
         model = SwinWNet(
             in_chans=1, error_matrix=True, embed_dim=48, depths=(2, 2, 2, 2),
             num_heads=(3, 6, 12, 24), window_size=5, attn_chunk=8192, dtype=DTYPE,
+            use_pallas=use_pallas,
         )
         x = jnp.asarray(rng.uniform(0, 1e3, (B, 2, 250, 480)), jnp.float32)
         v = model.init(jax.random.PRNGKey(0), x[:1])
         fn = jax.jit(lambda vv, a: inference_stages(model, vv, a)["images_masked_hr"])
     else:
         h, w, c, nh = {"l0": (125, 240, 48, 3), "srh1": (250, 480, 24, 3)}[WHAT]
-        mod = BasicLayer(dim=c, depth=2, num_heads=nh, window_size=5, attn_chunk=8192, dtype=DTYPE)
+        mod = BasicLayer(dim=c, depth=2, num_heads=nh, window_size=5, attn_chunk=8192, dtype=DTYPE,
+                         use_pallas=use_pallas)
         x = jnp.asarray(rng.standard_normal((B, h, w, c)), DTYPE)
         v = mod.init(jax.random.PRNGKey(0), x)
         fn = jax.jit(mod.apply)
