@@ -55,7 +55,15 @@ def main():
     print("generating synthetic dataset...")
     images, masks = synthesize_dataset(args.samples, H=H, W=W, seed=0)
     split = max(args.samples * 3 // 4, 1)
-    train_loader = ArrayLoader(images[:split], masks[:split], batch_size=args.batch, shuffle=True)
+    # train-time additive-background augmentation: covers the published eval
+    # protocol's N(100, 20) injection (see scripts/quality_run.py — without it
+    # a model trained on bare synthetic renders over-segments noisy inputs)
+    from swinwnet_tpu.data.noise import make_train_noise_augment
+
+    train_loader = ArrayLoader(
+        images[:split], masks[:split], batch_size=args.batch, shuffle=True,
+        augment=make_train_noise_augment(),
+    )
     val_loader = ArrayLoader(images[split:], masks[split:], batch_size=args.batch)
 
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, H, W)))["params"]
