@@ -720,14 +720,18 @@ class BasicLayer(nn.Module):
             # C=96 on XLA; C<=48 and the SR levels — the HBM-dominant ones —
             # stay fused in training too.
             fp32_cap = 48 if self.dtype != jnp.bfloat16 else 96
+            # windows land on the kernels' lane axis; below ~one 128-lane
+            # tile Mosaic's in-kernel reshapes reject the block (observed:
+            # BW=8 fails "unsupported shape cast" on hardware) and the
+            # kernel would be all padding anyway — tiny grids stay on XLA
+            nw_total = B * (-(-H // self.window_size)) * (-(-W // self.window_size))
+            interpret_env = bool(os.environ.get("SWINWNET_FUSED_INTERPRET"))
             fusable = (
                 self.use_pallas
                 and deterministic
+                and (nw_total >= 128 or interpret_env)
                 and (self.dim <= fp32_cap or (fuse_deep and self.dim <= 384))
-                and (
-                    jax.default_backend() == "tpu"
-                    or bool(os.environ.get("SWINWNET_FUSED_INTERPRET"))
-                )
+                and (jax.default_backend() == "tpu" or interpret_env)
             )
             if fusable:
                 if self.dim <= fp32_cap:

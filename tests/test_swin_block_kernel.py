@@ -346,3 +346,38 @@ def test_fused_gradients_match_unfused(C, nH, grid):
     finally:
         del os.environ["SWINWNET_FUSED_INTERPRET"]
         del os.environ["SWINWNET_FUSED_DEEP"]
+
+
+def test_fused_gate_routing_matrix():
+    """The fused-kernel gate's routing rules (round 3):
+
+    * tiny window counts (< one 128-lane tile) stay on XLA on hardware —
+      Mosaic rejects sub-128 lane blocks ("unsupported shape cast" at BW=8,
+      observed on a v5e) — but still fuse under the interpret env so these
+      CPU tests can exercise the kernels on small grids;
+    * fp32 caps the cmajor route at C<=48 (the C=96 fori-loop kernel's
+      scoped-VMEM stack exceeds the 16 MB limit in fp32; bf16 fuses).
+    """
+
+    def route(dim, nH, dtype, shape, env=None):
+        env = env or {}
+        os.environ.update(env)
+        try:
+            m = BasicLayer(dim=dim, depth=1, num_heads=nH, window_size=5,
+                           use_pallas=True, dtype=dtype)
+            x = jnp.zeros(shape, dtype)
+            v = m.init(jax.random.PRNGKey(0), x)
+            jxp = str(jax.make_jaxpr(lambda p, a: m.apply(p, a))(v, x))
+            return "fused" if ("custom_vjp" in jxp or "pallas" in jxp) else "xla"
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
+
+    interp = {"SWINWNET_FUSED_INTERPRET": "1"}
+    # no interpret env on the CPU test backend -> XLA everywhere
+    assert route(48, 3, jnp.float32, (1, 50, 60, 48)) == "xla"
+    # interpret env: small grids fuse (this file's kernel tests depend on it)
+    assert route(48, 3, jnp.float32, (1, 10, 15, 48), interp) == "fused"
+    # fp32 C=96 -> XLA (scoped-VMEM cap); bf16 C=96 fuses
+    assert route(96, 6, jnp.float32, (1, 50, 60, 96), interp) == "xla"
+    assert route(96, 6, jnp.bfloat16, (1, 50, 60, 96), interp) == "fused"
