@@ -2,11 +2,14 @@
 published eval protocol.
 
 Round-3 motivation: the QUALITY_r03 SR PSNR (28.9 dB) sits ~9 dB below the
-protocol's measured noise ceiling on the same data (38.1 dB — the PSNR of
-the noise-free masked signal against the noisy target, /tmp analysis kept
-in PERFORMANCE-adjacent notes), i.e. it is training-budget-limited, not
-protocol-limited. This script buys more budget for the SR-facing stages
-without repeating stage 1 (segmentation is already at IoU 0.98).
+protocol's measured noise ceiling on the same data — normalize(clean*mask)
+scored against normalize(noisy*mask) with the protocol's own clamp/PSNR
+gives 38.08 +- 0.63 dB (SSIM 0.986) over 96 eval samples, i.e. the best any
+model could do since the noise draw is unpredictable — so the 28.9 was
+training-budget-limited, not protocol-limited. This script buys more budget
+for the SR-facing stages without repeating stage 1 (segmentation is already
+at IoU 0.98). Outcome (committed artifacts QUALITY_r03_cont*): PSNR 30.86,
+SSIM 0.645 after +20 SR / +30 joint epochs.
 
     python scripts/quality_continue.py --ckpt QUALITY_r03_ckpt \
         --out QUALITY_r03 --sr-epochs 20 --full-epochs 30
