@@ -12,6 +12,12 @@ carries a `records` list with the full matrix:
 * rl_full_b64_bf16   — RL alpha-policy pipeline, BASELINE config #5
 * train_stage1_b4    — stage-1 supervised train step (fwd+bwd+masked-AdamW)
 * train_stage3_odd_b4— stage-3 joint odd step (all three towers + update)
+* train_stage1_b4_bf16 / train_stage3_odd_b4_bf16 — the same steps under
+  mixed precision (bf16 compute, fp32 params/optimizer — the reference-AMP
+  analog, Segmentator_pretrain.py:5,65,184-190)
+* full_b64_bf16_mesh — the headline pipeline sharded over ALL local devices
+  via a 1-D data mesh (`--mesh` / SWINWNET_BENCH_MESH=1; records `devices`
+  and per-chip img/s — trivially 1 device today, N when hardware exists)
 
 Each record is measured over an adaptively-sized loop targeting >=30 s of
 steady state (SWINWNET_BENCH_TARGET_S overrides; set 2 for smoke runs).
@@ -244,36 +250,83 @@ def main():
         masks = jnp.asarray((rng.uniform(size=(batch, 250, 480)) > 0.9), jnp.float32)
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 250, 480)))["params"]
 
+        model_bf16 = wnet(jnp.bfloat16, False, remat=True)  # bf16 compute, fp32 params
         train_cfgs = []
         if want("train_stage1_b4"):
             tx1 = masked_adamw(params, "stage1", 1e-4)
             step1 = make_stage1_step(model, tx1, combined_loss)
-            train_cfgs.append(("train_stage1_b4", "training_stage1_step", step1, tx1))
+            train_cfgs.append(("train_stage1_b4", "training_stage1_step", "float32", step1, tx1))
+        if want("train_stage1_b4_bf16"):
+            tx1b = masked_adamw(params, "stage1", 1e-4)
+            step1b = make_stage1_step(model_bf16, tx1b, combined_loss)
+            train_cfgs.append(("train_stage1_b4_bf16", "training_stage1_step", "bfloat16", step1b, tx1b))
         if want("train_stage3_odd_b4"):
             tx3 = masked_adamw(params, "stage3", 1e-4)
             _, odd_step, _, _ = make_stage3_steps(model, tx3, combined_loss, smooth_l1_loss)
-            train_cfgs.append(("train_stage3_odd_b4", "training_stage3_odd_step", odd_step, tx3))
+            train_cfgs.append(("train_stage3_odd_b4", "training_stage3_odd_step", "float32", odd_step, tx3))
+        if want("train_stage3_odd_b4_bf16"):
+            tx3b = masked_adamw(params, "stage3", 1e-4)
+            _, odd_step_b, _, _ = make_stage3_steps(model_bf16, tx3b, combined_loss, smooth_l1_loss)
+            train_cfgs.append(("train_stage3_odd_b4_bf16", "training_stage3_odd_step", "bfloat16", odd_step_b, tx3b))
 
-        for name, kind, step, tx in train_cfgs:
+        for name, kind, dt_name, step, tx in train_cfgs:
             state = TrainState.create(params, tx)
             ips, iters, dt = _bench_training(step, state, images, masks, batch, TARGET_S)
             records.append({
-                "name": name, "kind": kind, "batch": batch, "dtype": "float32",
+                "name": name, "kind": kind, "batch": batch, "dtype": dt_name,
                 "remat": True, "images_per_sec": round(ips, 2), "iters": iters,
                 "steady_state_s": round(dt, 1),
             })
             print(f"# {name}: {ips:.2f} img/s ({iters} iters, {dt:.0f}s)", flush=True)
 
+    # ---------------- data-mesh serving (per-chip scaling harness) ----------------
+    mesh_mode = os.environ.get("SWINWNET_BENCH_MESH", "") not in ("", "0") or (
+        "--mesh" in __import__("sys").argv
+    )
+    if mesh_mode and want("full_b64_bf16_mesh"):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = np.asarray(jax.devices())
+        n_dev = len(devices)
+        mesh = Mesh(devices, ("data",))
+        model = wnet(jnp.bfloat16, True)
+        batch = 64 * n_dev  # keep per-chip batch at the headline's 64
+        x_host = rng.uniform(0, 1e3, (batch, 2, 250, 480)).astype(np.float32)
+        x = jax.device_put(x_host, NamedSharding(mesh, P("data")))
+        variables = jax.device_put(
+            model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 250, 480))),
+            NamedSharding(mesh, P()),
+        )
+
+        @jax.jit
+        def mesh_step(variables, x):
+            out = inference_stages(model, variables, x)["images_masked_hr"]
+            return x + 1e-12 * out[:, :, :250, :480].sum().astype(jnp.float32)
+
+        ips, iters, dt = _bench_serving(mesh_step, variables, x, batch, TARGET_S)
+        records.append({
+            "name": "full_b64_bf16_mesh", "kind": "serving_full_pipeline_mesh",
+            "batch": batch, "devices": n_dev, "dtype": "bfloat16",
+            "use_pallas": True, "images_per_sec": round(ips, 2),
+            "images_per_sec_per_chip": round(ips / n_dev, 2),
+            "iters": iters, "steady_state_s": round(dt, 1),
+        })
+        print(
+            f"# full_b64_bf16_mesh: {ips:.2f} img/s over {n_dev} device(s) "
+            f"({ips / n_dev:.2f} img/s/chip, {iters} iters, {dt:.0f}s)",
+            flush=True,
+        )
+
     # ---------------- headline line ----------------
-    head = next((r for r in records if r["name"] == "full_b64_bf16"), records[0])
+    if not records:
+        raise SystemExit(
+            f"no benchmark records were produced — SWINWNET_BENCH_CONFIGS={sorted(only)!r} "
+            "matched no known config name"
+        )
+    head = next((r for r in records if r["name"] == "full_b64_bf16"), None)
     rec = {
         "metric": "swinwnet_full_inference_throughput",
-        "value": head["images_per_sec"],
         "unit": "images/sec/chip",
-        "vs_baseline": round(head["images_per_sec"] / BASELINE_IPS, 3),
-        "batch": head["batch"],
-        "dtype": head["dtype"],
-        "use_pallas": head.get("use_pallas", False),
         "target_steady_state_s": TARGET_S,
         "compile_cache": {
             "dir": cache_dir,
@@ -282,9 +335,27 @@ def main():
         },
         "records": records,
     }
-    if "mfu_pct" in head:
-        rec["gflops_per_image"] = head["gflops_per_image"]
-        rec["mfu_pct"] = head["mfu_pct"]
+    if head is not None:
+        rec.update(
+            value=head["images_per_sec"],
+            vs_baseline=round(head["images_per_sec"] / BASELINE_IPS, 3),
+            batch=head["batch"],
+            dtype=head["dtype"],
+            use_pallas=head.get("use_pallas", False),
+        )
+        if "mfu_pct" in head:
+            rec["gflops_per_image"] = head["gflops_per_image"]
+            rec["mfu_pct"] = head["mfu_pct"]
+    else:
+        # the headline config was filtered out: report the first record's
+        # number but LABEL it, and omit vs_baseline (it anchors full_b64_bf16
+        # only — ADVICE r03)
+        rec.update(
+            value=records[0]["images_per_sec"],
+            headline_config=records[0]["name"],
+            batch=records[0]["batch"],
+            dtype=records[0]["dtype"],
+        )
     print(json.dumps(rec))
 
 

@@ -17,14 +17,31 @@ Both also get the older *scalar* peak-matching loss (support_files/
 Peak_loss.py:161-190 -> `results/AGVpool_peak_losses.json`) via
 `physics.legacy.DiffractionPipeline`.
 
-These baselines are the yardstick the published model numbers are read
-against (bilinear: integral 1.433 / peak 0.199 / shape 0.0189) AND a
-weights-free end-to-end validation of the physics stack: nothing here needs
-a trained model when masks come from ground truth (`--mask gt`, default).
-`--mask ckpt --ckpt DIR` reproduces the notebook's model-derived masks from
-an orbax checkpoint instead.
+Protocol details that are load-bearing for comparability (round-4 findings):
 
-    python scripts/classical_baselines.py --out CLASSICAL_r03
+* `--norm notebook` (default): the notebook's normalize divides the log
+  branch by log1p(1) while its denormalize does NOT invert that
+  (ops.norms.normalize_piecewise_notebook) — the resulting nonlinear
+  inflation of pred values nearly cancels the `scale=True` /4 and the
+  HR/LR-grid pixel-count ratio. Measured on real data, it moves the bilinear
+  Peak Intensity error from 2.26 (exact-inverse pair) to 0.17 vs the
+  published 0.199. `--norm exact` keeps the trainers' self-consistent pair.
+* `--data real` (default when /root/reference is present): the six real
+  McStas patterns + their human-labeled masks (data.real). n = 6 x
+  noise-passes instead of the published 240 x 5, and all six are
+  max-statistics (5e8) patterns — the strongest-peak subset — so summed
+  per-sample integral errors sit in the published distribution's upper
+  tail; the summary records each metric's percentile placement inside the
+  published per-sample distribution alongside the strict mean band.
+* `--data synthetic` renders the synthetic eval crystals instead (the
+  generator-calibration yardstick).
+* Published runs masked with the *trained model's* soft sigmoid masks (cells
+  22/25 call model.segment_1); weights are unavailable here (BLOCKERS.md), so
+  `--mask gt` uses labeled/ground-truth binary masks and `--mask ckpt` an
+  orbax checkpoint of our own training.
+
+    python scripts/classical_baselines.py --out CLASSICAL_r04_real
+    python scripts/classical_baselines.py --data synthetic --out CLASSICAL_r04_syn
 """
 
 from __future__ import annotations
@@ -49,7 +66,11 @@ def maxpool2(x: np.ndarray) -> np.ndarray:
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--out", default="CLASSICAL_r03")
+    p.add_argument("--out", default="CLASSICAL_r04")
+    p.add_argument("--data", choices=("real", "synthetic"), default=None,
+                   help="default: real if the reference datasets are present")
+    p.add_argument("--norm", choices=("notebook", "exact"), default="notebook",
+                   help="normalize/denormalize convention (see module docstring)")
     p.add_argument("--height", type=int, default=250)
     p.add_argument("--width", type=int, default=480)
     p.add_argument("--eval-renders-per-crystal", type=int, default=8)
@@ -62,8 +83,6 @@ def main():
                         "host-side scipy anyway)")
     args = p.parse_args()
 
-    from quality_run import HELD_OUT, make_crystal_library, render_crystals
-
     import jax
 
     if args.device == "cpu":
@@ -75,17 +94,38 @@ def main():
     import jax.numpy as jnp
 
     from swinwnet_tpu.data.noise import add_eval_noise
+    from swinwnet_tpu.data.real import load_real_eval_set, reference_available
     from swinwnet_tpu.evalharness.regression import compare_with_baseline
-    from swinwnet_tpu.ops.norms import ensure_2ch, normalize_piecewise, denormalize_piecewise
+    from swinwnet_tpu.ops.norms import (
+        denormalize_piecewise,
+        denormalize_piecewise_notebook,
+        ensure_2ch,
+        normalize_piecewise,
+        normalize_piecewise_notebook,
+    )
     from swinwnet_tpu.physics import DiffractionMetricsCalculator, d_centers_hr, d_centers_lr
     from swinwnet_tpu.physics.legacy import DiffractionPipeline
 
+    if args.data is None:
+        args.data = "real" if reference_available() else "synthetic"
+    if args.norm == "notebook":
+        norm_fn, denorm_fn = normalize_piecewise_notebook, denormalize_piecewise_notebook
+    else:
+        norm_fn, denorm_fn = normalize_piecewise, denormalize_piecewise
+
     t0 = time.time()
-    lib = make_crystal_library(0, seed=0)
-    eval_images, eval_masks = render_crystals(
-        lib, HELD_OUT, args.eval_renders_per_crystal, args.height, args.width, seed=2
-    )
-    print(f"eval set {eval_images.shape} ({time.time()-t0:.0f}s)")
+    if args.data == "real":
+        eval_images, eval_masks, names = load_real_eval_set()
+        data_note = f"real reference patterns ({', '.join(names)}) + labeled masks"
+    else:
+        from quality_run import HELD_OUT, make_crystal_library, render_crystals
+
+        lib = make_crystal_library(0, seed=0)
+        eval_images, eval_masks = render_crystals(
+            lib, HELD_OUT, args.eval_renders_per_crystal, args.height, args.width, seed=2
+        )
+        data_note = "synthetic eval crystals (quality_run recipe)"
+    print(f"eval set {eval_images.shape} [{args.data}] ({time.time()-t0:.0f}s)")
 
     seg_fn = None
     if args.mask == "ckpt":
@@ -125,10 +165,10 @@ def main():
         hr = hr * mask
         lr = maxpool2(hr)
 
-        norm_lr, _ = normalize_piecewise(jnp.asarray(lr))
-        _, params_hr = normalize_piecewise(jnp.asarray(hr))
+        norm_lr, _ = norm_fn(jnp.asarray(lr))
+        _, params_hr = norm_fn(jnp.asarray(hr))
         sr = jax.image.resize(norm_lr, hr.shape, method="bilinear")
-        denorm_pred = np.asarray(denormalize_piecewise(sr, params_hr))
+        denorm_pred = np.asarray(denorm_fn(sr, params_hr))
 
         # batch in chunks to keep host peak-finding memory flat
         B = hr.shape[0]
@@ -153,21 +193,26 @@ def main():
 
     # ----- write the notebook-schema JSONs + summary -----
     published = {
-        "bilinear": ("BilinearInterpolation_diffraction_physycal_metrics_extended.json",
-                     {"integral": 1.433, "peak": 0.199, "shape": 0.0189}),
-        "avgpool": ("AVGPoolin_diffraction_physycal_metrics_extended.json",
-                    {"integral": 2.631, "peak": 4.337, "shape": 0.0293}),
+        "bilinear": "BilinearInterpolation_diffraction_physycal_metrics_extended.json",
+        "avgpool": "AVGPoolin_diffraction_physycal_metrics_extended.json",
     }
     summary = {
         "run": args.out,
         "protocol": "Physycal_metrics_test.ipynb cells 14-27 (mask -> MaxPool2d -> "
-                    "bilinear x2 / identity -> d-space metrics, 5 noise passes)",
+                    "bilinear x2 / identity -> d-space metrics, "
+                    f"{args.noise_passes} noise passes)",
+        "data": data_note,
+        "norm_convention": args.norm,
         "mask_source": args.mask,
         "n_samples": len(results["bilinear"]["Shape"]),
         "baselines": {},
-        "note": "published numbers come from the real McStas dataset + released "
-                "weights (unavailable: BLOCKERS.md); synthetic-data deltas are "
-                "informational scale checks, not gates",
+        "note": (
+            "published runs: 240 real test patterns (stats 1e7..5e8, pulse 10..300us) "
+            "x5 noise passes with trained-model soft masks; this run substitutes the "
+            "locally available data/masks (see 'data'/'mask_source'), so strict mean "
+            "bands are complemented by each metric's percentile inside the published "
+            "per-sample distribution"
+        ),
     }
     for name, vals in results.items():
         with open(f"{args.out}_{name}_physical_metrics.json", "w") as f:
@@ -183,8 +228,7 @@ def main():
             m: [float(np.mean(vals[m])), float(np.std(vals[m], ddof=1))]
             for m in ("Integral Intensity", "Peak Intensity", "Shape", "peak_loss")
         }
-        ref_file, ref_means = published[name]
-        ref_path = os.path.join(args.baselines, ref_file)
+        ref_path = os.path.join(args.baselines, published[name])
         if os.path.exists(ref_path):
             ref = json.load(open(ref_path))
             comp = {}
@@ -192,15 +236,26 @@ def main():
                                       ("Peak Intensity", "Peak Intensity losses"),
                                       ("Shape", "Shape_losses")):
                 if ref_key in ref:
-                    comp[ours_key] = compare_with_baseline(
-                        np.asarray(vals[ours_key]), np.asarray(ref[ref_key], dtype=np.float64)
+                    base = np.asarray(ref[ref_key], dtype=np.float64)
+                    c = compare_with_baseline(np.asarray(vals[ours_key]), base)
+                    # where does our mean sit inside the published per-sample
+                    # distribution? (the honest cross-dataset comparison)
+                    c["percentile_in_published"] = round(
+                        float((base <= c["mean_new"]).mean() * 100.0), 1
                     )
+                    c["within_published_iqr"] = bool(
+                        np.percentile(base, 25) <= c["mean_new"] <= np.percentile(base, 75)
+                    )
+                    c["within_published_p5_p95"] = bool(
+                        np.percentile(base, 5) <= c["mean_new"] <= np.percentile(base, 95)
+                    )
+                    comp[ours_key] = c
             entry["vs_published"] = comp
         summary["baselines"][name] = entry
 
     with open(f"{args.out}.json", "w") as f:
         json.dump(summary, f, indent=1)
-    print(json.dumps(summary["baselines"], indent=1, default=str)[:1500])
+    print(json.dumps(summary["baselines"], indent=1, default=str)[:2500])
     print(f"wrote {args.out}.json (+4 metric files) in {(time.time()-t0)/60:.1f} min")
 
 

@@ -42,43 +42,83 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 HELD_OUT = ("Al2O3_sapphire", "C_graphite", "Na2Ca3Al2F14", "Rb", "Si", "UO2")
 
+# published sweep coordinates (support_files/Diffraction_render_script.py:8-16)
+EVAL_STATS = (5e8, 3e8)
+TRAIN_STATS = (1e8, 2e8, 3e8, 5e8)
+PULSES_US = tuple(np.linspace(10, 300, 20))
+
 
 def make_crystal_library(n_train: int, seed: int = 0):
-    """Synthetic crystal library: name -> (d_list, intensities).
+    """Calibrated crystal library: name -> spec dict (see data.calibration).
 
-    d-lists are sampled in the detectable regime calibrated against the real
-    reference patterns (round-3 diagnosis): strong reflections below ~4.2 A
-    with >=0.25 A separation — large-d peaks are intrinsically comb-aliased
-    on this detector (the lambda-row spacing maps to ~4 d-bins per row at
-    d~5), and the published width>=5 peak gate rejects them even on real
-    data."""
+    Round-4 recipe: the six held-out crystals use d-lists / relative
+    intensities / counting scales EXTRACTED FROM THE REAL reference patterns
+    (data.calibration.real_crystal_library — Si's actual 3.07/1.56/1.33 A
+    reflections, etc.), so the eval task is the real crystals' geometry, not
+    random d's. Train crystals are sampled to match the measured real
+    statistics: 3-15 detectable reflections below ~4.5 A, log-uniform
+    relative intensities (real integral ratios span ~1.5 decades), and
+    per-crystal counting scales log-uniform over the observed 450-2500
+    counts range."""
+    from swinwnet_tpu.data.calibration import real_crystal_library
     from swinwnet_tpu.data.generation import sample_d_list
+    from swinwnet_tpu.data.real import reference_available
 
     rng = np.random.default_rng(seed)
     lib = {}
-    for name in list(HELD_OUT) + [f"crystal_{i:02d}" for i in range(n_train)]:
-        n_peaks = int(rng.integers(4, 9))
-        d = sample_d_list(rng, n_peaks)
-        inten = rng.uniform(0.5, 3.0, len(d))
-        lib[name] = (d, inten)
+    if reference_available():
+        lib.update(real_crystal_library())
+    else:  # offline fallback: synthetic held-out specs
+        for name in HELD_OUT:
+            d = sample_d_list(rng, int(rng.integers(3, 16)), d_range=(0.9, 4.5))
+            lib[name] = {
+                "d": d,
+                "intensity": 10.0 ** rng.uniform(-1.5, 0.0, len(d)),
+                "amp_max": float(10.0 ** rng.uniform(np.log10(450), np.log10(2500))),
+            }
+    for i in range(n_train):
+        n_peaks = int(rng.integers(3, 16))
+        d = sample_d_list(rng, n_peaks, d_range=(0.9, 4.5))
+        inten = 10.0 ** rng.uniform(-1.5, 0.0, len(d))
+        lib[f"crystal_{i:02d}"] = {
+            "d": d,
+            "intensity": inten,
+            "amp_max": float(10.0 ** rng.uniform(np.log10(450), np.log10(2500))),
+        }
     return lib
 
 
-def render_crystals(lib, names, renders_each, H, W, seed=0):
-    """Render patterns + ground-truth masks for the given crystal names.
+def render_crystals(lib, names, renders_each, H, W, seed=0, eval_set=None):
+    """Render calibrated patterns + ground-truth masks for the given names.
 
-    Images carry the direct-beam streak (like the real patterns); masks come
-    from a beam-free noiseless render, so the segmenter must reject the beam."""
+    Each render draws (stats, pulse duration) from the published sweep grid
+    (eval: best-stats half; train: the full 1e8..5e8 range), so peak widths
+    and SNR span the published test distribution instead of a single
+    operating point. Images carry the measured real-pattern floor
+    (~N(100,20)) and direct-beam streak; masks come from a beam-free,
+    floor-free, noiseless render, so the segmenter must reject both."""
+    from swinwnet_tpu.data.calibration import render_calibrated, pulse_width_for_duration
     from swinwnet_tpu.data.generation import synthesize_pattern
 
+    if eval_set is None:
+        eval_set = all(n in HELD_OUT for n in names)
+    stats_grid = EVAL_STATS if eval_set else TRAIN_STATS
     rng = np.random.default_rng(seed)
     images, masks = [], []
     for name in names:
-        d, inten = lib[name]
+        spec = lib[name]
+        d, inten, amp = spec["d"], spec["intensity"], spec["amp_max"]
         for r in range(renders_each):
-            s = int(rng.integers(0, 2**31))
-            img = synthesize_pattern(d, inten, H=H, W=W, seed=s, direct_beam=4.0)
-            clean = synthesize_pattern(d, inten, H=H, W=W, seed=None, background=0.0)
+            stats = float(stats_grid[int(rng.integers(len(stats_grid)))])
+            pulse = float(PULSES_US[int(rng.integers(len(PULSES_US)))])
+            img = render_calibrated(
+                d, inten, stats=stats, pulse_duration_us=pulse, amp_max=amp,
+                H=H, W=W, seed=int(rng.integers(0, 2**31)),
+            )
+            clean = synthesize_pattern(
+                d, inten, H=H, W=W, seed=None, background=0.0,
+                pulse_width=pulse_width_for_duration(pulse), resolution=0.008,
+            )
             thr = float(clean.max()) * 5e-3 if clean.max() > 0 else 1.0
             images.append(img)
             masks.append((clean > thr).astype(np.uint8))

@@ -1,0 +1,170 @@
+"""Synthetic-renderer calibration against the six real reference patterns.
+
+The published quality/classical baselines were measured on real McStas
+patterns (240 test patterns spanning statistics 1e7..5e8 and pulse durations
+10..300 us — support_files/Diffraction_render_script.py:8-16). The real
+dataset is unavailable (LFS stubs, BLOCKERS.md), so the synthetic renderer
+(`data.generation.synthesize_pattern`) stands in — and its realism decides
+whether our metric numbers are comparable. This module extracts calibration
+targets from the six real patterns that ARE local (data.real) and provides
+the calibrated render recipe:
+
+Measured real-pattern statistics (round 4; scripts in git history):
+
+* baseline floor: every stored pattern sits on ~N(100, 20) counts (medians
+  100.4-104.0 across the six, sigma ~20-23 including off-peak tails) — the
+  patterns were stored noise-injected per the eval protocol, so calibrated
+  renders add the same floor;
+* peak pixels: q99 ~400-870 above floor, per-crystal maxima 900-3900 —
+  heavy-tailed, hence log-uniform reflection intensities;
+* direct beam: 2-4 columns wide at theta~0, maxima 294 (UO2) .. 16673 (Rb) —
+  often the global pattern max, i.e. the normalization of UNMASKED patterns
+  is beam-dominated exactly as in the reference data;
+* rebinned d-space peak tables (published find_peaks gates): 4-14 detected
+  peaks per pattern on the LR 832-bin grid.
+
+`real_crystal_library()` additionally recovers each held-out crystal's d-list
+and relative intensities from its real pattern, so the synthetic eval set
+renders the *actual* Si/Al2O3/... reflections instead of random d's.
+
+Pulse-duration mapping: on a TOF beamline the moderator pulse length
+contributes Delta-lambda = 3956 [m A/s] * dt / L; with the reference
+instrument's ~6.5 m source-detector flight path (dif60 spec), the published
+10..300 us sweep maps to a constant wavelength-broadening term of
+~0.006..0.18 A — `pulse_width_for_duration`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.config import GEOMETRY
+
+# measured floor of the stored real patterns (see module docstring)
+REAL_BASELINE_MU = 100.0
+REAL_BASELINE_SIGMA = 20.0
+
+# TOF flight path of the dif60 instrument (m): moderator -> banana detector
+FLIGHT_PATH_M = 6.5
+# lambda [A] = 3956 * t [s] / L [m]  (h / m_neutron = 3956 m*A/s)
+H_OVER_M = 3956.0
+
+
+def pulse_width_for_duration(pulse_duration_us: float, flight_path_m: float = FLIGHT_PATH_M) -> float:
+    """Constant wavelength broadening (A) of a moderator pulse of the given
+    length — the `pulse_width` knob of `synthesize_pattern`."""
+    return H_OVER_M * (pulse_duration_us * 1e-6) / flight_path_m
+
+
+def stats_scale(stats: float, max_stats: float = 5e8) -> float:
+    """Counting-statistics scale factor relative to the best published run
+    (the real masks/patterns are all at stats=5e8)."""
+    return float(stats) / max_stats
+
+
+def extract_crystal_spec(
+    image: np.ndarray,
+    mask: Optional[np.ndarray] = None,
+    d_centers: Optional[np.ndarray] = None,
+    d_max: float = 7.4,
+) -> Dict[str, np.ndarray]:
+    """Recover a renderable (d_list, intensities) spec from a real pattern.
+
+    Pipeline: (mask ->) d-space rebin on the LR 832-bin grid (physics.Qwrapper)
+    -> published find_peaks gates (physics.host_oracle.GATES) -> per-peak
+    center-of-mass d and integral intensity. Intensities are returned relative
+    (max = 1); the absolute scale is carried by `amp_max` = the strongest
+    masked pixel above the baseline floor.
+    """
+    from ..physics.host_oracle import GATES, find_peaks_for_batch
+    from ..physics.qwrapper import Qwrapper, d_centers_lr
+
+    if d_centers is None:
+        d_centers = d_centers_lr
+    img = np.asarray(image, dtype=np.float32)
+    floor = float(np.median(img))
+    work = img - floor
+    if mask is not None:
+        work = work * np.asarray(mask, dtype=np.float32)
+    qw = Qwrapper(fixed_centers=np.asarray(d_centers))
+    spec = qw.tensor_to_d(work[None, None])
+    peaks = find_peaks_for_batch(spec, **GATES)[0]
+    d = np.array([p["d_com"] for p in peaks])
+    inten = np.array([p["integral_intensity"] for p in peaks])
+    keep = d <= d_max
+    d, inten = d[keep], inten[keep]
+    if inten.size and inten.max() > 0:
+        inten = inten / inten.max()
+    amp_max = float(np.percentile(work[work > 0], 99.9)) if np.any(work > 0) else 0.0
+    return {"d": d, "intensity": inten, "amp_max": amp_max, "floor": floor}
+
+
+def real_crystal_library(root: Optional[str] = None) -> Dict[str, Dict[str, np.ndarray]]:
+    """{crystal: spec} for the six real held-out crystals (data.real)."""
+    from .real import REAL_PATTERN_CRYSTALS, REFERENCE_ROOT, load_real_eval_set
+
+    images, masks, names = load_real_eval_set(root or REFERENCE_ROOT)
+    return {n: extract_crystal_spec(img, m) for n, img, m in zip(names, images, masks)}
+
+
+def render_calibrated(
+    d_list: Sequence[float],
+    intensities: Sequence[float],
+    stats: float = 5e8,
+    pulse_duration_us: float = 100.0,
+    amp_max: float = 1500.0,
+    beam_amp: Optional[float] = None,
+    H: int = GEOMETRY.height,
+    W: int = GEOMETRY.width,
+    seed: Optional[int] = 0,
+    baseline: bool = True,
+    resolution: float = 0.008,
+    speckle_k: Optional[float] = None,
+    **kwargs,
+) -> np.ndarray:
+    """Render one calibrated synthetic pattern.
+
+    Maps the published sweep coordinates (stats, pulse duration) onto the
+    synthetic renderer and adds the measured stored-pattern floor:
+
+      clean Bragg render (real d's / intensities, pulse-dependent width,
+      Delta-d/d = 0.8% — matches the measured real rebinned peak widths of
+      5-17 LR-grid bins)
+      * amp_max counting scale * stats/5e8
+      -> Gamma weighted-ray speckle (measured real roughness 0.28-1.13;
+         k drawn ~ stats-scaled U(1.5, 10) unless given)
+      -> Poisson -> + N(100, 20) floor
+
+    The returned pattern therefore has the same intensity statistics AND
+    pixel texture as the stored real patterns; the eval protocol's
+    additional N(100, 20) injection (data.noise.add_eval_noise) applies on
+    top, exactly as it does to the real six.
+    """
+    from .generation import synthesize_pattern
+
+    rng = np.random.default_rng(seed)
+    scale = stats_scale(stats)
+    inten = np.asarray(intensities, dtype=np.float64)
+    if speckle_k is None:
+        speckle_k = max(0.8, float(rng.uniform(1.5, 10.0)) * scale)
+    img = synthesize_pattern(
+        d_list,
+        inten,
+        H=H,
+        W=W,
+        pulse_width=pulse_width_for_duration(pulse_duration_us),
+        direct_beam=(rng.uniform(2.0, 12.0) if beam_amp is None else beam_amp),
+        background=2.0 * scale,
+        counts_scale=amp_max * scale,
+        resolution=resolution,
+        speckle_k=speckle_k,
+        seed=None if seed is None else int(rng.integers(0, 2**31)),
+        **kwargs,
+    )
+    if baseline:
+        img = img + rng.normal(REAL_BASELINE_MU, REAL_BASELINE_SIGMA, img.shape).astype(
+            np.float32
+        )
+    return img.astype(np.float32)

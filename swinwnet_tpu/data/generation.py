@@ -44,6 +44,7 @@ def synthesize_pattern(
     direct_beam: float = 0.0,
     background: float = 2.0,
     counts_scale: float = 1000.0,
+    speckle_k: Optional[float] = None,
     seed: Optional[int] = 0,
 ) -> np.ndarray:
     """Render a [H, W] float32 synthetic diffraction pattern.
@@ -75,6 +76,15 @@ def synthesize_pattern(
     degrees). It maps to d > 7.5 A under the rebinners' d-mask, so it never
     pollutes I(d) — but segmentation models must learn to reject it, exactly
     as with the real data.
+
+    `speckle_k` models McStas' weighted-ray Monte-Carlo variance (round-4
+    calibration): the real reference patterns are strongly speckled inside
+    peak regions — relative local roughness 0.28-1.13 vs a 3x3 mean,
+    i.e. the equivalent of only ~1-10 *effective* rays per pixel, far
+    rougher than Poisson noise of the stored count values. Each signal pixel
+    (Bragg + beam, post-blur) is multiplied by an independent
+    Gamma(k, 1/k) factor (mean 1, relative sigma 1/sqrt(k)); k ~ 1-10
+    reproduces the measured roughness. Applied only when `seed` is set.
 
     Poisson noise is applied on top of a flat background when `seed` is not
     None.
@@ -109,10 +119,14 @@ def synthesize_pattern(
     if theta_blur > 0.0:
         img = _gaussian_blur_axis1(img, theta_blur)
 
-    img = img * counts_scale + background
     if seed is not None:
         rng = np.random.default_rng(seed)
+        if speckle_k is not None and speckle_k > 0:
+            img = img * rng.gamma(speckle_k, 1.0 / speckle_k, img.shape)
+        img = img * counts_scale + background
         img = rng.poisson(np.maximum(img, 0)).astype(np.float64)
+    else:
+        img = img * counts_scale + background
     return img.astype(np.float32)
 
 

@@ -110,11 +110,13 @@ class ArrayLoader:
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
         idx = np.arange(self.n_samples)
+        # the epoch counter advances unconditionally so augmentation noise is
+        # fresh every epoch even for non-shuffled loaders (ADVICE r03)
         epoch = self._epoch
+        self._epoch += 1
         if self.shuffle:
             rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(idx)
-            self._epoch += 1
         for start in range(0, len(self) * self.batch_size, self.batch_size):
             batch_idx = idx[start : start + self.batch_size]
             if len(batch_idx) == 0:

@@ -22,7 +22,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.swin_wnet import SwinWNet
-from ..ops.norms import denormalize_piecewise, ensure_2ch, normalize_piecewise
+from ..ops.norms import (
+    denormalize_piecewise,
+    denormalize_piecewise_notebook,
+    ensure_2ch,
+    normalize_piecewise,
+    normalize_piecewise_notebook,
+)
 from ..ops.resize import bilinear_downscale_half, nearest_exact_resize
 from ..physics import DiffractionMetricsCalculator, d_centers_hr, d_centers_lr
 from ..pipelines.inference import make_inference_fn
@@ -70,12 +76,23 @@ class MetricsCalculator:
         verbose: bool = True,
         policy=None,
         policy_variables=None,
+        norm_convention: str = "reference",
     ):
         """`policy`/`policy_variables`: optional trained AlphaPolicy — when
         given, the SR branch applies the deterministic action mu after
         `upscale`, matching the RL inference pipeline
         (RL_Inference_Pipline.py:113-121), so post-RL-fine-tune metrics run
-        through the same harness as the supervised ones."""
+        through the same harness as the supervised ones.
+
+        `norm_convention`: "reference" (default) = the tests.py /
+        ST_Inference_Pipline norm pair (exact inverse; what the models are
+        trained with); "notebook" = the Physycal_metrics_test.ipynb pair
+        (/log1p(1) norm + plain expm1 denorm — intentionally non-inverse; see
+        ops.norms.normalize_piecewise_notebook). The four published
+        *_physycal_metrics_extended.json baselines were produced under the
+        notebook convention, so physical-metric comparisons against them must
+        use it; segmentation and PSNR/SSIM baselines came through tests.py
+        and keep the reference convention either way."""
         self.model = model
         self.variables = variables
         self.val_loader = val_loader
@@ -88,6 +105,13 @@ class MetricsCalculator:
             fixed_centers_pred=self.d_centers_hr, fixed_centers_true=self.d_centers_lr
         )
 
+        if norm_convention == "notebook":
+            _norm, _denorm = normalize_piecewise_notebook, denormalize_piecewise_notebook
+        elif norm_convention == "reference":
+            _norm, _denorm = normalize_piecewise, denormalize_piecewise
+        else:
+            raise ValueError(f"unknown norm_convention {norm_convention!r}")
+
         # SR-branch forward shared by upscaler/physical evals (tests.py:326-347)
         @jax.jit
         def sr_forward(variables, images):
@@ -96,15 +120,15 @@ class MetricsCalculator:
             seg = jax.nn.sigmoid(seg)
             images = images * seg
             images_downscaled = bilinear_downscale_half(images)
-            norm_downscaled, _ = normalize_piecewise(images_downscaled)
-            norm_images, params_images = normalize_piecewise(images)
+            norm_downscaled, _ = _norm(images_downscaled)
+            norm_images, params_images = _norm(images)
             sr_out, _ = model.apply(variables, norm_downscaled, skips_seg, method=SwinWNet.upscale)
             if policy is not None:
                 from ..models.alpha_policy import apply_action
 
                 mu, _std = policy.apply(policy_variables, norm_downscaled)
                 sr_out = apply_action(sr_out, mu)
-            denorm_sr_out = denormalize_piecewise(sr_out, params_images)
+            denorm_sr_out = _denorm(sr_out, params_images)
             return images_downscaled, norm_images, sr_out, denorm_sr_out
 
         self._sr_forward = sr_forward

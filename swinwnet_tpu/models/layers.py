@@ -268,7 +268,10 @@ class WindowAttention(nn.Module):
     # window batches (the finest SR-head level materializes 30 GB at B=32
     # without it). 0 = off.
     attn_chunk: int = 0
-    formulation: str = "bcast"  # "bcast" (VPU, default) | "matmul" (MXU)
+    # "bcast" (VPU, default) | "matmul" (per-window MXU) | "packed" (MXU on
+    # 5-window 125-token tiles with a block-diagonal bias/mask — 5x redundant
+    # score FLOPs but ~full MXU tile occupancy vs 25x25's 4%)
+    formulation: str = "bcast"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -348,7 +351,57 @@ class WindowAttention(nn.Module):
             )
             return out.transpose(0, 2, 1, 3).reshape(k_, N, C).astype(self.dtype)
 
-        attend = attend_bcast if self.formulation == "bcast" else attend_matmul
+        def attend_packed(xw, m, group: int = 5):
+            """Window-packed MXU formulation: stack `group` windows along the
+            token axis (5 x 25 = 125 rows ~ one 128-row MXU tile) and run ONE
+            [G*N, G*N] score matmul per packed tile. Cross-window scores are
+            computed redundantly (G-fold extra FLOPs) and killed by a static
+            block-diagonal -1e9 mask folded into the tiled rel-pos bias; the
+            value contraction then sees full MXU occupancy too. Shift masks
+            (m) are not supported — the shipped checkpoints never shift
+            (SwinWNet.py:328), and callers fall back to bcast when m is set.
+            """
+            assert m is None, "packed formulation requires mask=None"
+            k_ = xw.shape[0]
+            pad = (-k_) % group
+            if pad:
+                xw = jnp.pad(xw, ((0, pad), (0, 0), (0, 0)))
+            kp = xw.shape[0] // group
+            GN = group * N
+            qkv = jnp.dot(xw.astype(self.dtype), qkv_k.astype(self.dtype), precision=prec)
+            if qkv_b is not None:
+                qkv = qkv + qkv_b.astype(self.dtype)
+            qkv = qkv.reshape(kp, GN, 3, nH, hd)
+            q = qkv[:, :, 0] * jnp.asarray(scale, self.dtype)
+            kk = qkv[:, :, 1]
+            v = qkv[:, :, 2]
+            # static packed bias: rel-pos bias on the diagonal blocks, -1e9 off
+            eye = jnp.eye(group, dtype=jnp.float32)
+            packed_bias = (
+                eye[:, None, :, None] * rel_bias[:, None, :, None, :]
+                + (1.0 - eye)[:, None, :, None] * (-1e9)
+            )  # [nH broadcast]: shapes [G,1,G,1]x[nH,1,N,1,N] -> [nH,G,N,G,N]
+            packed_bias = packed_bias.reshape(nH, GN, GN)
+            attn = jnp.einsum(
+                "bnhd,bmhd->bhnm", q, kk, preferred_element_type=jnp.float32, precision=prec
+            )
+            attn = attn + packed_bias[None]
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            if self.attn_drop > 0.0:
+                attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+            out = jnp.einsum(
+                "bhnm,bmhd->bnhd", attn, v, preferred_element_type=jnp.float32, precision=prec
+            )
+            out = out.reshape(kp * group, N, C).astype(self.dtype)
+            return out[:k_] if pad else out
+
+        attend = {
+            "bcast": attend_bcast,
+            "matmul": attend_matmul,
+            "packed": attend_packed,
+        }[self.formulation]
+        if self.formulation == "packed" and mask is not None:
+            attend = attend_bcast  # shift masks: packed unsupported, see above
 
         chunkable = (
             self.attn_chunk > 0

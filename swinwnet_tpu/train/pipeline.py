@@ -34,6 +34,7 @@ class SwinWNetTrainingPipeline:
         seg_weight_lr: float = 1.0,
         seg_weight_hr: float = 1.0,
         rec_weight: float = 1.0,
+        compute_dtype=None,
         verbose: bool = True,
     ):
         self.model = model
@@ -52,6 +53,7 @@ class SwinWNetTrainingPipeline:
             seg_weight_lr=seg_weight_lr,
             seg_weight_hr=seg_weight_hr,
             rec_weight=rec_weight,
+            compute_dtype=compute_dtype,
         )
         self.verbose = verbose
         self.histories: Dict[str, dict] = {}
@@ -71,6 +73,7 @@ class SwinWNetTrainingPipeline:
             warmup_epochs=c["warmup_epochs"],
             lr=c["lr"],
             weight_decay=c["weight_decay"],
+            compute_dtype=c["compute_dtype"],
             verbose=self.verbose,
         )
         self.histories["stage1"] = t1.train()
@@ -89,6 +92,7 @@ class SwinWNetTrainingPipeline:
             warmup_epochs=c["warmup_epochs"],
             lr=c["lr"],
             weight_decay=c["weight_decay"],
+            compute_dtype=c["compute_dtype"],
             verbose=self.verbose,
         )
         self.histories["stage2"] = t2.train()
@@ -111,6 +115,7 @@ class SwinWNetTrainingPipeline:
             seg_weight_lr=c["seg_weight_lr"],
             seg_weight_hr=c["seg_weight_hr"],
             rec_weight=c["rec_weight"],
+            compute_dtype=c["compute_dtype"],
             verbose=self.verbose,
         )
         self.histories["stage3"] = t3.train()

@@ -38,7 +38,7 @@ from ..ops.resize import bilinear_downscale_half
 from ..physics.device_metrics import diffraction_metrics_device
 from ..physics.qwrapper import Qwrapper, d_centers_hr
 from .freeze import masked_adamw
-from .trainers import TrainState
+from .trainers import TrainState, _with_compute_dtype
 
 
 @jax.tree_util.register_dataclass
@@ -66,7 +66,7 @@ def make_rl_train_step(
     def preprocess(params, images):
         """RL_finetuning_pipline.py:183-191 (no-grad)."""
         seg, skips = model.apply({"params": params}, images, method=SwinWNet.segment_1)
-        seg_images = images * jax.nn.sigmoid(seg)
+        seg_images = images * jax.nn.sigmoid(seg.astype(jnp.float32))
         lr = bilinear_downscale_half(seg_images)
         norm_lr, _ = normalize_piecewise(lr)
         norm_hr, params_hr = normalize_piecewise(seg_images)
@@ -75,7 +75,7 @@ def make_rl_train_step(
     def reward_of(params, norm_lr, skips, alpha, params_hr, seg_images):
         """No-grad rollout + on-device physical reward (:202-230)."""
         sr_out, _ = model.apply({"params": params}, norm_lr, skips, method=SwinWNet.upscale)
-        sr_out = apply_action(sr_out, alpha)
+        sr_out = apply_action(sr_out.astype(jnp.float32), alpha)
         denorm_pred = denormalize_piecewise(sr_out, params_hr)[:, 0:1]
         denorm_tgt = seg_images[:, 0:1]
 
@@ -123,7 +123,7 @@ def make_rl_train_step(
 
         def model_loss_of(params):
             sr_out2, _ = model.apply({"params": params}, norm_lr, skips, method=SwinWNet.upscale)
-            sr_out2 = apply_action(sr_out2, alpha_det)
+            sr_out2 = apply_action(sr_out2.astype(jnp.float32), alpha_det)
             rec = jnp.mean(jnp.abs(sr_out2 - norm_hr))  # F.l1_loss
             return lambda_rec * rec, rec
 
@@ -168,6 +168,7 @@ class RLTrainer:
         lambda_shape: float = 0.5,
         policy_lr: float = 1e-4,
         model_lr: float = 1e-5,
+        compute_dtype=None,
         seed: int = 0,
         verbose: bool = True,
     ):
@@ -188,7 +189,7 @@ class RLTrainer:
             rng=jax.random.PRNGKey(seed),
         )
         self._step = make_rl_train_step(
-            model,
+            _with_compute_dtype(model, compute_dtype),
             policy,
             self.model_tx,
             self.policy_tx,

@@ -18,6 +18,15 @@ Unlike the reference's eager loops, each step is ONE compiled function
 autograd lets them (stage 2's preprocess is under stop_gradient, stage 3's
 mask/normalize path is differentiated through).
 
+Mixed precision: every reference trainer runs under `torch.cuda.amp`
+autocast + GradScaler (Segmentator_pretrain.py:5,65,184-190;
+Upscaler_pretrain.py:6,58; FullModel_supervised_trainer.py:6,78,199). The
+TPU analog is `compute_dtype=jnp.bfloat16`: the model's matmuls/convs run in
+bf16 on the MXU while parameters, optimizer state, and losses stay fp32
+(params are stored fp32 and cast per-op — models/layers.py), and gradients
+come out fp32 through the cast's transpose. bf16's fp32 exponent range makes
+a GradScaler unnecessary.
+
 Steps take/return an explicit `TrainState` and are `pjit`-able over a data
 mesh (see parallel/sharding.py and __graft_entry__.dryrun_multichip).
 """
@@ -57,6 +66,23 @@ def _apply_updates(state: TrainState, grads, tx) -> TrainState:
     return TrainState(params=params, opt_state=opt_state, step=state.step + 1)
 
 
+def _with_compute_dtype(model: SwinWNet, compute_dtype) -> SwinWNet:
+    """Return the model (or a clone of it) with the requested compute dtype.
+
+    `compute_dtype=jnp.bfloat16` is the AMP-autocast analog: the clone shares
+    the parameter structure, so fp32 params flow through bf16 compute and the
+    resulting grads are fp32 (see module docstring)."""
+    if compute_dtype is None or model.dtype == compute_dtype:
+        return model
+    return model.clone(dtype=compute_dtype)
+
+
+def _f32(x):
+    """Losses and normalization statistics always run in fp32 (the torch-AMP
+    convention: reductions leave autocast)."""
+    return x.astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Pure step factories
 # ---------------------------------------------------------------------------
@@ -67,7 +93,7 @@ def make_stage1_step(model: SwinWNet, tx, loss_fn) -> Callable:
 
     def loss_of(params, images, masks):
         seg, _ = model.apply({"params": params}, images, method=SwinWNet.segment_1)
-        return loss_fn(seg, masks)
+        return loss_fn(_f32(seg), masks)
 
     @jax.jit
     def step(state: TrainState, images, masks):
@@ -85,7 +111,7 @@ def make_stage1_eval(model: SwinWNet, loss_fn) -> Callable:
         images = ensure_2ch(images)
         masks = masks[:, None] if masks.ndim == 3 else masks
         seg, _ = model.apply({"params": params}, images, method=SwinWNet.segment_1)
-        return loss_fn(seg, masks)
+        return loss_fn(_f32(seg), masks)
 
     return eval_step
 
@@ -93,7 +119,7 @@ def make_stage1_eval(model: SwinWNet, loss_fn) -> Callable:
 def _sr_preprocess(model, params, hr):
     """Frozen-segmentator preprocess (Upscaler_pretrain.py:188-208)."""
     seg, skips = model.apply({"params": params}, hr, method=SwinWNet.segment_1)
-    seg = jax.nn.sigmoid(seg)
+    seg = jax.nn.sigmoid(_f32(seg))
     hr_masked = seg * hr
     lr = bilinear_downscale_half(hr_masked)
     norm_lr, _ = normalize_piecewise(lr)
@@ -106,7 +132,7 @@ def make_stage2_step(model: SwinWNet, tx, loss_fn) -> Callable:
 
     def loss_of(params, norm_lr, norm_hr, skips):
         pred, _ = model.apply({"params": params}, norm_lr, skips, method=SwinWNet.upscale)
-        return loss_fn(pred, norm_hr)
+        return loss_fn(_f32(pred), norm_hr)
 
     @jax.jit
     def step(state: TrainState, hr, _masks=None):
@@ -124,7 +150,7 @@ def make_stage2_eval(model: SwinWNet, loss_fn) -> Callable:
         hr = ensure_2ch(hr)
         norm_lr, norm_hr, skips = _sr_preprocess(model, params, hr)
         pred, _ = model.apply({"params": params}, norm_lr, skips, method=SwinWNet.upscale)
-        return loss_fn(pred, norm_hr)
+        return loss_fn(_f32(pred), norm_hr)
 
     return eval_step
 
@@ -143,6 +169,7 @@ def make_stage3_steps(
 
     def even_loss(params, images, masks):
         seg, skips_seg = model.apply({"params": params}, images, method=SwinWNet.segment_1)
+        seg = _f32(seg)
         loss_seg = seg_loss_fn(seg, masks)
 
         seg_s = jax.nn.sigmoid(seg)
@@ -152,12 +179,13 @@ def make_stage3_steps(
         norm_hr, _ = normalize_piecewise(images_masked)
 
         sr_out, _ = model.apply({"params": params}, norm_lr, skips_seg, method=SwinWNet.upscale)
-        rec = sr_loss_fn(sr_out, norm_hr)
+        rec = sr_loss_fn(_f32(sr_out), norm_hr)
         total = loss_seg * seg_weight_lr + rec * rec_weight
         return total, {"loss": total, "seg_lr": loss_seg, "rec": rec, "seg_hr": jnp.zeros(())}
 
     def odd_loss(params, images, masks):
         seg, skips_seg = model.apply({"params": params}, images, method=SwinWNet.segment_1)
+        seg = _f32(seg)
         loss_low = seg_loss_fn(seg, masks)
 
         seg_s = jax.nn.sigmoid(seg)
@@ -165,10 +193,11 @@ def make_stage3_steps(
         norm_hr, params_hr = normalize_piecewise(images_masked)
 
         sr_out, skips_sr = model.apply({"params": params}, norm_hr, skips_seg, method=SwinWNet.upscale)
-        denorm_pred = denormalize_piecewise(sr_out, params_hr)
+        denorm_pred = denormalize_piecewise(_f32(sr_out), params_hr)
         seg_high, _ = model.apply(
             {"params": params}, denorm_pred, skips_sr, method=SwinWNet.segment_2
         )
+        seg_high = _f32(seg_high)
         masks_up = nearest_exact_resize(
             masks.astype(jnp.float32), masks.shape[-2] * 2, masks.shape[-1] * 2
         )
@@ -264,6 +293,7 @@ class SegmentatorTrainer(_BaseTrainer):
         warmup_epochs: int = 10,
         lr: float = 2e-4,
         weight_decay: float = 1e-4,
+        compute_dtype=None,
         verbose: bool = True,
         log_path=None,
     ):
@@ -276,8 +306,9 @@ class SegmentatorTrainer(_BaseTrainer):
         schedule = warmup_cosine_schedule(lr, warmup_epochs, num_epochs, max(len(train_loader), 1))
         self.tx = masked_adamw(params, "stage1", schedule, weight_decay)
         self.state = TrainState.create(params, self.tx)
-        self._step = make_stage1_step(model, self.tx, loss_fn)
-        self._eval = make_stage1_eval(model, loss_fn)
+        step_model = _with_compute_dtype(model, compute_dtype)
+        self._step = make_stage1_step(step_model, self.tx, loss_fn)
+        self._eval = make_stage1_eval(step_model, loss_fn)
 
     def train(self) -> Dict[str, list]:
         for epoch in range(self.num_epochs):
@@ -321,6 +352,7 @@ class UpscalerTrainer(_BaseTrainer):
         warmup_epochs: int = 10,
         lr: float = 2e-4,
         weight_decay: float = 1e-4,
+        compute_dtype=None,
         verbose: bool = True,
         log_path=None,
     ):
@@ -333,8 +365,9 @@ class UpscalerTrainer(_BaseTrainer):
         schedule = warmup_cosine_schedule(lr, warmup_epochs, num_epochs, max(len(train_loader), 1))
         self.tx = masked_adamw(params, "stage2", schedule, weight_decay)
         self.state = TrainState.create(params, self.tx)
-        self._step = make_stage2_step(model, self.tx, loss_fn)
-        self._eval = make_stage2_eval(model, loss_fn)
+        step_model = _with_compute_dtype(model, compute_dtype)
+        self._step = make_stage2_step(step_model, self.tx, loss_fn)
+        self._eval = make_stage2_eval(step_model, loss_fn)
 
     def train(self) -> Dict[str, list]:
         for epoch in range(self.num_epochs):
@@ -378,6 +411,7 @@ class FullModelTrainer(_BaseTrainer):
         seg_weight_lr: float = 1.0,
         seg_weight_hr: float = 1.0,
         rec_weight: float = 1.0,
+        compute_dtype=None,
         verbose: bool = True,
         log_path=None,
     ):
@@ -391,8 +425,9 @@ class FullModelTrainer(_BaseTrainer):
         schedule = warmup_cosine_schedule(lr, warmup_epochs, num_epochs, max(len(train_loader), 1))
         self.tx = masked_adamw(params, "stage3", schedule, weight_decay)
         self.state = TrainState.create(params, self.tx)
+        step_model = _with_compute_dtype(model, compute_dtype)
         self._even, self._odd, self._even_eval, self._odd_eval = make_stage3_steps(
-            model, self.tx, seg_fn, sr_fn, seg_weight_lr, seg_weight_hr, rec_weight
+            step_model, self.tx, seg_fn, sr_fn, seg_weight_lr, seg_weight_hr, rec_weight
         )
 
     def _run_epoch(self, loader, train: bool) -> Dict[str, float]:
