@@ -42,10 +42,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 HELD_OUT = ("Al2O3_sapphire", "C_graphite", "Na2Ca3Al2F14", "Rb", "Si", "UO2")
 
-# published sweep coordinates (support_files/Diffraction_render_script.py:8-16)
+# published sweep coordinates (support_files/Diffraction_render_script.py:8-16).
+# Pulses are restricted to the sweep's lower half: the calibration iteration
+# (round 4) showed the >150 us renders are so broad that every classical
+# yardstick error collapses toward zero there, while the published classical
+# distributions have q5 well above zero — the published test subset is
+# evidently sharp-pulse-dominated.
 EVAL_STATS = (5e8, 3e8)
 TRAIN_STATS = (1e8, 2e8, 3e8, 5e8)
-PULSES_US = tuple(np.linspace(10, 300, 20))
+PULSES_US = tuple(np.linspace(10, 100, 20))
 
 
 def make_crystal_library(n_train: int, seed: int = 0):
@@ -139,6 +144,9 @@ def main():
     p.add_argument("--full-epochs", type=int, default=10)
     p.add_argument("--warmup-epochs", type=int, default=3)
     p.add_argument("--noise-passes", type=int, default=5)
+    p.add_argument("--compute-dtype", choices=("fp32", "bf16"), default="bf16",
+                   help="training compute precision (bf16 = the reference-AMP "
+                        "analog: bf16 compute, fp32 params/optimizer)")
     p.add_argument("--tiny", action="store_true", help="tiny arch + 50x60 for smoke runs")
     p.add_argument("--baselines", default="/root/reference/results")
     args = p.parse_args()
@@ -209,6 +217,7 @@ def main():
         model, params, train_loader, val_loader,
         seg_epochs=args.seg_epochs, sr_epochs=args.sr_epochs,
         full_epochs=args.full_epochs, warmup_epochs=args.warmup_epochs,
+        compute_dtype=jnp.bfloat16 if args.compute_dtype == "bf16" else None,
     )
     t0 = time.time()
     params, _histories = pipe.run()
@@ -217,27 +226,41 @@ def main():
 
     variables = {"params": params}
 
-    # ----- published eval protocol: N noise passes over held-out crystals -----
-    seg_all, ups_all, phys_all = None, None, None
-    for k in range(args.noise_passes):
-        noisy = add_eval_noise(eval_images[:, None].astype(np.float32), seed=k)[:, 0]
-        loader = ArrayLoader(noisy, eval_masks, batch_size=args.batch)
-        calc = MetricsCalculator(model, variables, loader, verbose=False)
-        seg = calc.CalculateSegmentationMetrics()
-        ups = calc.CalculateUpscalerMetrics()
-        phys = calc.CalculatePhysycalMetrics()
-        if seg_all is None:
-            seg_all, ups_all, phys_all = seg, ups, phys
-        else:
-            for res in seg:
-                for thr in seg[res]:
-                    seg_all[res][thr].extend(seg[res][thr])
-            for sec in ups:
-                for m in ups[sec]:
-                    ups_all[sec][m].extend(ups[sec][m])
-            for m in phys:
-                phys_all[m] = np.concatenate([phys_all[m], phys[m]])
-        print(f"noise pass {k+1}/{args.noise_passes} done")
+    # ----- published eval protocol: N noise passes over held-out data -----
+    calc = MetricsCalculator(model, variables, None, verbose=False)
+    calc_nb = MetricsCalculator(model, variables, None, verbose=False, norm_convention="notebook")
+
+    def run_eval_protocol(images, masks, seed0=0):
+        """Segmentation + PSNR/SSIM follow tests.py (reference norm pair);
+        physical metrics follow the notebook convention that produced the
+        published *_physycal_metrics_extended.json files (round-4 finding).
+        The two calculators are hoisted so their jitted forwards compile once
+        across all noise passes."""
+        seg_all, ups_all, phys_all = None, None, None
+        for k in range(args.noise_passes):
+            noisy = add_eval_noise(images[:, None].astype(np.float32), seed=seed0 + k)[:, 0]
+            loader = ArrayLoader(noisy, masks, batch_size=args.batch)
+            calc.val_loader = loader
+            calc_nb.val_loader = loader
+            seg = calc.CalculateSegmentationMetrics()
+            ups = calc.CalculateUpscalerMetrics()
+            phys = calc_nb.CalculatePhysycalMetrics()
+            if seg_all is None:
+                seg_all, ups_all, phys_all = seg, ups, phys
+            else:
+                for res in seg:
+                    for thr in seg[res]:
+                        seg_all[res][thr].extend(seg[res][thr])
+                for sec in ups:
+                    for m in ups[sec]:
+                        ups_all[sec][m].extend(ups[sec][m])
+                for m in phys:
+                    phys_all[m] = np.concatenate([phys_all[m], phys[m]])
+            print(f"  noise pass {k+1}/{args.noise_passes} done")
+        return seg_all, ups_all, phys_all
+
+    print("synthetic eval set:")
+    seg_all, ups_all, phys_all = run_eval_protocol(eval_images, eval_masks)
 
     write_results_json(f"{args.out}_segmentation_metrics.json", seg_all)
     write_results_json(f"{args.out}_upscaling_metrics.json", ups_all)
@@ -249,6 +272,43 @@ def main():
             "Shape": phys_all["shape"],
         },
     )
+
+    # ----- real-data eval: the six real patterns + human-labeled masks -----
+    # The model never saw real data (trained on calibrated synthetic); this
+    # measures the full domain transfer against the published protocol's own
+    # test crystals — the directly comparable numbers.
+    real_summary = None
+    from swinwnet_tpu.data.real import load_real_eval_set, reference_available
+
+    if reference_available() and not args.tiny:
+        print("real eval set (6 reference patterns):")
+        r_images, r_masks, _names = load_real_eval_set()
+        seg_r, ups_r, phys_r = run_eval_protocol(r_images, r_masks, seed0=100)
+        write_results_json(f"{args.out}_real_segmentation_metrics.json", seg_r)
+        write_results_json(f"{args.out}_real_upscaling_metrics.json", ups_r)
+        write_results_json(
+            f"{args.out}_real_physical_metrics.json",
+            {
+                "Integral Intensity": phys_r["integral"],
+                "Peak Intensity": phys_r["peak"],
+                "Shape": phys_r["shape"],
+            },
+        )
+        real_summary = {
+            "n_samples": int(len(r_images) * args.noise_passes),
+            "segmentation_iou@0.50_lr": [
+                float(np.mean([r["IoU"] for r in seg_r["Low Res"]["0.50 thrashold"]])),
+                float(np.std([r["IoU"] for r in seg_r["Low Res"]["0.50 thrashold"]], ddof=1)),
+            ],
+            "upscaling": {
+                sec: {m: [float(np.mean(v)), float(np.std(v, ddof=1))] for m, v in d.items() if len(v)}
+                for sec, d in ups_r.items()
+            },
+            "physical": {
+                m: [float(np.mean(phys_r[m])), float(np.std(phys_r[m], ddof=1))]
+                for m in phys_r
+            },
+        }
 
     # ----- HR-path diagnostics (round-3: diagnose the r02 HR-seg collapse) -----
     # distribution of the HR sigmoid map and of segment_2's denormalized input
@@ -306,6 +366,7 @@ def main():
             for m in phys_all
         },
         "diagnostics": diagnostics,
+        "real_eval": real_summary,
         "baseline_comparison": {},
         "baseline_note": (
             "published baselines use the real McStas dataset + released .pth "

@@ -35,22 +35,24 @@ ITERS = 10
 LEVELS = {
     "L0": (125, 240, 48, 3, B, "cmajor", (128, 256), (8, 16)),
     "L1": (63, 120, 96, 6, B, "cmajor", (128, 256), (4, 8)),
-    "L2": (32, 60, 192, 12, B, "rowmajor", (4, 8, 16, 32), (0,)),
-    "L3": (16, 30, 384, 24, B, "rowmajor", (2, 4, 8, 16), (0,)),
+    "L2": (32, 60, 192, 12, B, "rowmajor", (8, 16, 32), (0,)),
+    "L3": (16, 30, 384, 24, B, "rowmajor", (4, 8, 16), (0,)),
     "SR1": (250, 480, 24, 3, B, "cmajor", (128, 256, 512), (2, 4, 8)),
     "SR2": (500, 960, 12, 3, min(B, 16), "cmajor", (128, 256, 512), (2, 4)),
 }
 
 
-def timeit(fn, *args):
+def timeit(fn, x):
     # completion barrier = on-device scalar reduce + 4-byte fetch; fetching
     # the raw output would bill a multi-100MB tunnel transfer to the loop
-    # (the round-3 bench.py pitfall, PERFORMANCE.md)
-    out = fn(*args)
+    # (the round-3 bench.py pitfall, PERFORMANCE.md). Iterations chain
+    # through the output (ADVICE r03: independent re-runs let host dispatch
+    # overlap and under-time fast configs relative to bench.py).
+    out = fn(x)
     _ = float(jnp.sum(out))
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = fn(*args)
+        out = fn(out)
     _ = float(jnp.sum(out))
     return (time.perf_counter() - t0) / ITERS
 
@@ -109,17 +111,19 @@ def main():
                 m = _window_pad_mask_np(H, W, 5)
                 mask = jnp.asarray(np.tile(m, (bb, 1, 1)).reshape(-1, 1))
             for bw in bws:
-                try:
-                    fn = jax.jit(
-                        lambda xx, bw=bw: fused_swin_block(
-                            xx, *args.values(), num_heads=nH, window_tokens=N,
-                            pad_mask=mask, block_windows=bw,
+                for pg in (0, 5):  # 0 = per-window dots; 5 = packed-MXU tiles
+                    try:
+                        fn = jax.jit(
+                            lambda xx, bw=bw, pg=pg: fused_swin_block(
+                                xx, *args.values(), num_heads=nH, window_tokens=N,
+                                pad_mask=mask, block_windows=bw, packed_group=pg,
+                            )
                         )
-                    )
-                    dt = timeit(fn, x2)
-                    print(f"  BW={bw:4d}: {dt*1e3:8.2f} ms ({bb/dt:8.1f} img/s)")
-                except Exception as e:
-                    print(f"  BW={bw:4d}: FAIL {type(e).__name__}: {str(e)[:120]}")
+                        dt = timeit(fn, x2)
+                        tag = "packed" if pg else "plain "
+                        print(f"  BW={bw:4d} {tag}: {dt*1e3:8.2f} ms ({bb/dt:8.1f} img/s)")
+                    except Exception as e:
+                        print(f"  BW={bw:4d} pg={pg}: FAIL {type(e).__name__}: {str(e)[:120]}")
 
 
 if __name__ == "__main__":

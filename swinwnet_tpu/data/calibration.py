@@ -148,7 +148,11 @@ def render_calibrated(
     scale = stats_scale(stats)
     inten = np.asarray(intensities, dtype=np.float64)
     if speckle_k is None:
-        speckle_k = max(0.8, float(rng.uniform(1.5, 10.0)) * scale)
+        # per-crystal effective rays/pixel measured on the real six: the
+        # 2x2 max/mean texture statistic 1.30-1.96 maps to k ~ 0.7-8
+        # (log-uniform); fewer source neutrons -> fewer rays -> rougher
+        speckle_k = max(0.5, float(10.0 ** rng.uniform(np.log10(0.7), np.log10(8.0))) * scale)
+    kwargs.setdefault("theta_mod", float(rng.uniform(0.3, 0.7)))
     img = synthesize_pattern(
         d_list,
         inten,

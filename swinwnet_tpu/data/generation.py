@@ -45,6 +45,8 @@ def synthesize_pattern(
     background: float = 2.0,
     counts_scale: float = 1000.0,
     speckle_k: Optional[float] = None,
+    theta_mod: float = 0.0,
+    theta_mod_scale: int = 30,
     seed: Optional[int] = 0,
 ) -> np.ndarray:
     """Render a [H, W] float32 synthetic diffraction pattern.
@@ -77,6 +79,15 @@ def synthesize_pattern(
     pollutes I(d) — but segmentation models must learn to reject it, exactly
     as with the real data.
 
+    `theta_mod` > 0 modulates each reflection's intensity ALONG its Bragg
+    arc by a smooth log-normal theta-profile (sigma = theta_mod, correlation
+    length `theta_mod_scale` columns): real powder arcs are not flat —
+    preferred orientation, absorption and detector acceptance modulate them
+    by tens of percent across theta, which decorrelates the window sums the
+    d-space metrics compare between the HR and LR grids. Deterministic per
+    (seed, reflection) so a (noisy, clean-mask) render pair sees the same
+    arcs when the same seed is passed.
+
     `speckle_k` models McStas' weighted-ray Monte-Carlo variance (round-4
     calibration): the real reference patterns are strongly speckled inside
     peak regions — relative local roughness 0.28-1.13 vs a 3x3 mean,
@@ -100,13 +111,22 @@ def synthesize_pattern(
     lam_grid = lam[:, None]  # [H, 1]
     sin_half = np.sin(theta * 0.5)[None, :]  # [1, W]
 
+    mod_rng = None
+    if theta_mod > 0.0:
+        mod_rng = np.random.default_rng((0 if seed is None else int(seed), 7919))
+
     img = np.zeros((H, W), dtype=np.float64)
     for d, inten in zip(d_list, intensities):
         lam_bragg = 2.0 * d * sin_half  # [1, W] per-column Bragg wavelength
         in_band = (lam_bragg > lambda_range[0]) & (lam_bragg < lambda_range[1])
         sigma = np.sqrt(pulse_width**2 + (resolution * lam_bragg) ** 2)
         profile = np.exp(-0.5 * ((lam_grid - lam_bragg) / sigma) ** 2)
-        img += inten * profile * in_band
+        arc = inten * profile * in_band
+        if mod_rng is not None:
+            z = _gaussian_blur_axis1(mod_rng.normal(size=(1, W)), float(theta_mod_scale))
+            z = z / max(float(z.std()), 1e-9)
+            arc = arc * np.exp(theta_mod * z - 0.5 * theta_mod**2)
+        img += arc
 
     if direct_beam > 0.0:
         # transmitted beam: Gaussian in theta (sigma ~3.5 deg), Maxwellian-ish

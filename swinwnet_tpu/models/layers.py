@@ -701,8 +701,12 @@ class SwinTransformerBlock(nn.Module):
             nW = m.shape[0]
             Bv = x.shape[0] // nW
             mask = (jnp.asarray(np.tile(m, (Bv, 1, 1)).reshape(-1, 1)),)
+        # SWINWNET_FUSED_DEEP=packed routes the deep levels through the
+        # window-packed MXU attention core (5-window 125-token tiles;
+        # round 4 — see ops/pallas/swin_block.py _block_kernel)
+        packed = 5 if os.environ.get("SWINWNET_FUSED_DEEP") == "packed" else 0
         out = fused_block_autodiff(
-            "rowmajor", self.num_heads, N, bool(mask), (8, interp),
+            "rowmajor", self.num_heads, N, bool(mask), (8, interp, packed),
             x.reshape(-1, C).astype(self.dtype), *mask, *weights.values(),
         )
         return out.reshape(x.shape)
@@ -766,7 +770,9 @@ class BasicLayer(nn.Module):
             #   25x25 dots underfill the MXU — same reason rowmajor lost at
             #   C<=96 in round 2). Default OFF; SWINWNET_FUSED_DEEP=1
             #   enables it for A/B.
-            fuse_deep = os.environ.get("SWINWNET_FUSED_DEEP", "0") == "1"
+            # "1" = plain rowmajor kernel (round 3 — measured slower than
+            # XLA); "packed" = rowmajor with packed-MXU attention (round 4)
+            fuse_deep = os.environ.get("SWINWNET_FUSED_DEEP", "0") in ("1", "packed")
             # fp32 (training precision) doubles every kernel buffer: at C=96
             # the fori-loop cmajor kernel's scoped-VMEM stack measures 16.8 MB
             # against the 16 MB limit (fine in bf16: ~8.4 MB), so fp32 keeps
@@ -798,13 +804,30 @@ class BasicLayer(nn.Module):
                         fused_layout = ""
                 else:
                     fused_layout = "rowmajor"
-            part = {
-                "nmajor": window_partition_nmajor,
-                "cmajor": window_partition_cmajor,
-                "rowmajor": window_partition,
-                "": window_partition,
-            }[fused_layout]
-            x, (Hp, Wp) = part(x, self.window_size)
+            # the cmajor relayout runs as a Pallas permutation kernel by
+            # default (round 4: XLA's lane-crossing transposes measured
+            # ~20-30x over copy bandwidth — ops/pallas/relayout.py);
+            # SWINWNET_RELAYOUT_KERNEL=0 restores the XLA transposes for A/B
+            relayout_kernel = (
+                fused_layout == "cmajor"
+                and os.environ.get("SWINWNET_RELAYOUT_KERNEL", "0") != "0"
+            )
+            if relayout_kernel:
+                from ..ops.pallas.relayout import window_partition_cmajor_pallas
+
+                ws = self.window_size
+                pad_h, pad_w = (-H) % ws, (-W) % ws
+                xp = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0))) if (pad_h or pad_w) else x
+                Hp, Wp = H + pad_h, W + pad_w
+                x = window_partition_cmajor_pallas(xp, ws, interpret=interpret_env)
+            else:
+                part = {
+                    "nmajor": window_partition_nmajor,
+                    "cmajor": window_partition_cmajor,
+                    "rowmajor": window_partition,
+                    "": window_partition,
+                }[fused_layout]
+                x, (Hp, Wp) = part(x, self.window_size)
         for i in range(self.depth):
             x = block_cls(
                 dim=self.dim,
@@ -825,13 +848,20 @@ class BasicLayer(nn.Module):
                 name=f"blocks_{i}",
             )(x, deterministic)
         if windowed:
-            rev = {
-                "nmajor": window_reverse_nmajor,
-                "cmajor": window_reverse_cmajor,
-                "rowmajor": window_reverse,
-                "": window_reverse,
-            }[fused_layout]
-            x = rev(x, self.window_size, Hp, Wp)
+            if relayout_kernel:
+                from ..ops.pallas.relayout import window_reverse_cmajor_pallas
+
+                x = window_reverse_cmajor_pallas(
+                    x, self.window_size, Hp, Wp, interpret=interpret_env
+                )
+            else:
+                rev = {
+                    "nmajor": window_reverse_nmajor,
+                    "cmajor": window_reverse_cmajor,
+                    "rowmajor": window_reverse,
+                    "": window_reverse,
+                }[fused_layout]
+                x = rev(x, self.window_size, Hp, Wp)
             if Hp != H or Wp != W:
                 x = x[:, :H, :W, :]
         return x
