@@ -41,9 +41,26 @@ def main():
     ws = 5
     rng = np.random.default_rng(0)
 
-    # parity at a padded and at every pipeline-relevant channel width
-    for B, H, W, C in ((2, 10, 15, 12), (2, 25, 30, 48), (1, 20, 20, 96)):
-        x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    # parity at a padded and at every pipeline-relevant channel width; on
+    # hardware, only geometries admitting a Mosaic-legal row grouping run
+    # (interpret mode relaxes to R=1), so include hardware-friendly shapes
+    from swinwnet_tpu.ops.pallas.relayout import relayout_supported
+
+    for B, H, W, C in (
+        (2, 10, 15, 12),
+        (2, 25, 30, 48),
+        (1, 20, 20, 96),
+        (16, 20, 40, 12),
+        (16, 40, 80, 96),
+    ):
+        if not args.check and not relayout_supported(B, H, W, ws):
+            print(f"skip [{B},{H},{W},{C}] (no legal row grouping on hardware)")
+            continue
+        # hardware parity runs in bf16 (the serving dtype; the kernel is
+        # pure data movement so equality is exact either way) — f32 blocks
+        # at C=96 exceed the 16M scoped-VMEM limit via lane padding
+        dt = jnp.float32 if args.check else jnp.bfloat16
+        x = jnp.asarray(rng.normal(size=(B, H, W, C)), dt)
         want, (Hp, Wp) = window_partition_cmajor(x, ws)
         got = window_partition_cmajor_pallas(x, ws, interpret=args.check)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=0)

@@ -804,14 +804,22 @@ class BasicLayer(nn.Module):
                         fused_layout = ""
                 else:
                     fused_layout = "rowmajor"
-            # the cmajor relayout runs as a Pallas permutation kernel by
-            # default (round 4: XLA's lane-crossing transposes measured
-            # ~20-30x over copy bandwidth — ops/pallas/relayout.py);
-            # SWINWNET_RELAYOUT_KERNEL=0 restores the XLA transposes for A/B
+            # the cmajor relayout can run as a Pallas permutation kernel
+            # (round 4: XLA's lane-crossing transposes measured ~20-30x over
+            # copy bandwidth — ops/pallas/relayout.py); opt in with
+            # SWINWNET_RELAYOUT_KERNEL=1 — default stays XLA until the
+            # hardware A/B (scripts/relayout_ab.py) shows a win
             relayout_kernel = (
                 fused_layout == "cmajor"
                 and os.environ.get("SWINWNET_RELAYOUT_KERNEL", "0") != "0"
             )
+            if relayout_kernel:
+                from ..ops.pallas.relayout import relayout_supported
+
+                ws = self.window_size
+                relayout_kernel = relayout_supported(
+                    B, H + (-H) % ws, W + (-W) % ws, ws
+                )
             if relayout_kernel:
                 from ..ops.pallas.relayout import window_partition_cmajor_pallas
 

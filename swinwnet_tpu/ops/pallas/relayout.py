@@ -5,9 +5,18 @@ Round-3 device traces price the XLA `copy` ops that implement
 serving step (~27 ms at L0, ~73 ms at the SR2 level, B=64) — XLA executes the
 lane-crossing [B,H,W,C] <-> [C, N, B*nW] permutation ~20-30x slower than copy
 bandwidth. These kernels do the same permutation tile-by-tile in VMEM: each
-grid step reads one (batch, window-row) slab, permutes it with in-register
-shuffles, and writes the destination block — one HBM read + one write at
-near-copy bandwidth.
+grid step reads a group of R window-rows and writes the permuted block — one
+HBM read + one write.
+
+Mosaic cannot shape-cast multi-dim vector merges in-register, so both ends
+are expressed as FREE row-major XLA reshapes ([B,Hp,Wp,C] <->
+[B*Hw, ws, Ww, ws, C] and [C,N,B*nW] <-> [C, ws, ws, B*Hw, Ww]) and the
+kernel body is a single 5-D transpose. Block shapes keep the last two dims
+equal to the full array dims (ws, C) on the spatial side and (R, Ww) with
+R % 8 == 0 on the windows side, satisfying the Mosaic tiling rule.
+`relayout_supported()` tells callers whether a geometry admits the grouping
+(B*Hw % 8 == 0); models/layers.py falls back to the XLA transposes when it
+does not (e.g. B=1 at the published geometry).
 
 Layout contract matches ops/window.py exactly:
   partition: x[b, hw*ws+i, ww*ws+j, c] -> out[c, i*ws+j, ((b*Hw)+hw)*Ww+ww]
@@ -32,37 +41,53 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _partition_kernel(x_ref, o_ref, *, ws: int):
-    # x_ref: [1, ws, Wp, C] (one batch row of windows); o_ref: [C, ws*ws, Ww]
-    x = x_ref[0]  # [ws, Wp, C]
-    C = x.shape[-1]
-    Ww = x.shape[1] // ws
-    x = x.reshape(ws, Ww, ws, C)
-    x = x.transpose(3, 0, 2, 1)  # [C, ws, ws, Ww]
-    o_ref[:] = x.reshape(C, ws * ws, Ww).astype(o_ref.dtype)
+def _row_group(n_rows: int, interpret: bool = False) -> int | None:
+    """Window-row group size R (block's second-to-last windows-side dim).
+
+    Mosaic wants R % 8 == 0; interpret mode (CPU testing) has no tiling
+    constraint, so any geometry runs with R=1 there."""
+    if interpret:
+        return 1
+    return 8 if n_rows % 8 == 0 else None
 
 
-def _reverse_kernel(w_ref, o_ref, *, ws: int):
-    # w_ref: [C, ws*ws, Ww]; o_ref: [1, ws, Wp, C]
-    w = w_ref[:]
-    C, N, Ww = w.shape
-    w = w.reshape(C, ws, ws, Ww)
-    w = w.transpose(1, 3, 2, 0)  # [ws, Ww, ws, C]
-    o_ref[0] = w.reshape(ws, Ww * ws, C).astype(o_ref.dtype)
+def relayout_supported(B: int, Hp: int, Wp: int, ws: int) -> bool:
+    """True when the padded geometry admits a Mosaic-legal blocking."""
+    if Hp % ws or Wp % ws:
+        return False
+    return _row_group(B * (Hp // ws)) is not None
+
+
+def _partition_kernel(x_ref, o_ref):
+    # x_ref: [R, ws, Ww, ws, C] (R window-rows); o_ref: [C, ws, ws, R, Ww]
+    o_ref[:] = x_ref[:].transpose(4, 1, 3, 0, 2).astype(o_ref.dtype)
+
+
+def _reverse_kernel(w_ref, o_ref):
+    # w_ref: [C, ws, ws, R, Ww]; o_ref: [R, ws, Ww, ws, C]
+    o_ref[:] = w_ref[:].transpose(3, 1, 4, 2, 0).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _partition_impl(x, ws: int, interpret: bool):
     B, Hp, Wp, C = x.shape
     Hw, Ww = Hp // ws, Wp // ws
-    return pl.pallas_call(
-        functools.partial(_partition_kernel, ws=ws),
-        grid=(B, Hw),
-        in_specs=[pl.BlockSpec((1, ws, Wp, C), lambda b, h: (b, h, 0, 0))],
-        out_specs=pl.BlockSpec((C, ws * ws, Ww), lambda b, h: (0, 0, b * Hw + h)),
-        out_shape=jax.ShapeDtypeStruct((C, ws * ws, B * Hw * Ww), x.dtype),
+    R = _row_group(B * Hw, interpret)
+    if R is None:
+        raise ValueError(
+            f"relayout kernel unsupported at B={B} Hp={Hp} Wp={Wp} ws={ws}; "
+            "gate callers on relayout_supported()"
+        )
+    xr = x.reshape(B * Hw, ws, Ww, ws, C)  # free row-major reshape
+    out = pl.pallas_call(
+        _partition_kernel,
+        grid=((B * Hw) // R,),
+        in_specs=[pl.BlockSpec((R, ws, Ww, ws, C), lambda g: (g, 0, 0, 0, 0))],
+        out_specs=pl.BlockSpec((C, ws, ws, R, Ww), lambda g: (0, 0, 0, g, 0)),
+        out_shape=jax.ShapeDtypeStruct((C, ws, ws, B * Hw, Ww), x.dtype),
         interpret=interpret,
-    )(x)
+    )(xr)
+    return out.reshape(C, ws * ws, B * Hw * Ww)  # free row-major merges
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
@@ -70,14 +95,22 @@ def _reverse_impl(windows, ws: int, Hp: int, Wp: int, interpret: bool):
     C, N, BnW = windows.shape
     Hw, Ww = Hp // ws, Wp // ws
     B = BnW // (Hw * Ww)
-    return pl.pallas_call(
-        functools.partial(_reverse_kernel, ws=ws),
-        grid=(B, Hw),
-        in_specs=[pl.BlockSpec((C, N, Ww), lambda b, h: (0, 0, b * Hw + h))],
-        out_specs=pl.BlockSpec((1, ws, Wp, C), lambda b, h: (b, h, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), windows.dtype),
+    R = _row_group(B * Hw, interpret)
+    if R is None:
+        raise ValueError(
+            f"relayout kernel unsupported at B={B} Hp={Hp} Wp={Wp} ws={ws}; "
+            "gate callers on relayout_supported()"
+        )
+    wr = windows.reshape(C, ws, ws, B * Hw, Ww)  # free row-major reshape
+    out = pl.pallas_call(
+        _reverse_kernel,
+        grid=((B * Hw) // R,),
+        in_specs=[pl.BlockSpec((C, ws, ws, R, Ww), lambda g: (0, 0, 0, g, 0))],
+        out_specs=pl.BlockSpec((R, ws, Ww, ws, C), lambda g: (g, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * Hw, ws, Ww, ws, C), windows.dtype),
         interpret=interpret,
-    )(windows)
+    )(wr)
+    return out.reshape(B, Hp, Wp, C)  # free row-major merges
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
