@@ -110,19 +110,22 @@ def render_crystals(lib, names, renders_each, H, W, seed=0, eval_set=None):
     stats_grid = EVAL_STATS if eval_set else TRAIN_STATS
     rng = np.random.default_rng(seed)
     images, masks = [], []
+    from swinwnet_tpu.data.calibration import REAL_RESOLUTION
+
     for name in names:
         spec = lib[name]
         d, inten, amp = spec["d"], spec["intensity"], spec["amp_max"]
+        res = float(spec.get("resolution", REAL_RESOLUTION))
         for r in range(renders_each):
             stats = float(stats_grid[int(rng.integers(len(stats_grid)))])
             pulse = float(PULSES_US[int(rng.integers(len(PULSES_US)))])
             img = render_calibrated(
                 d, inten, stats=stats, pulse_duration_us=pulse, amp_max=amp,
-                H=H, W=W, seed=int(rng.integers(0, 2**31)),
+                H=H, W=W, seed=int(rng.integers(0, 2**31)), resolution=res,
             )
             clean = synthesize_pattern(
                 d, inten, H=H, W=W, seed=None, background=0.0,
-                pulse_width=pulse_width_for_duration(pulse), resolution=0.008,
+                pulse_width=pulse_width_for_duration(pulse), resolution=res,
             )
             thr = float(clean.max()) * 5e-3 if clean.max() > 0 else 1.0
             images.append(img)

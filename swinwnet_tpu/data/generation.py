@@ -47,6 +47,8 @@ def synthesize_pattern(
     speckle_k: Optional[float] = None,
     theta_mod: float = 0.0,
     theta_mod_scale: int = 30,
+    pedestal: float = 0.0,
+    pedestal_mult: float = 5.0,
     seed: Optional[int] = 0,
 ) -> np.ndarray:
     """Render a [H, W] float32 synthetic diffraction pattern.
@@ -121,6 +123,16 @@ def synthesize_pattern(
         in_band = (lam_bragg > lambda_range[0]) & (lam_bragg < lambda_range[1])
         sigma = np.sqrt(pulse_width**2 + (resolution * lam_bragg) ** 2)
         profile = np.exp(-0.5 * ((lam_grid - lam_bragg) / sigma) ** 2)
+        if pedestal > 0.0:
+            # diffuse pedestal under each arc (thermal-diffuse scattering +
+            # moderator tails): `pedestal` of the core's mass spread over a
+            # `pedestal_mult`x wider profile. The real six patterns spend
+            # 101 of 832 LR d-bins above 5% of max vs 38 for core-only
+            # renders — this inter-peak plateau is what the published
+            # metrics' int(1.5*width) windows integrate on the broadened
+            # pooled-LR side.
+            ped = np.exp(-0.5 * ((lam_grid - lam_bragg) / (pedestal_mult * sigma)) ** 2)
+            profile = profile + (pedestal / pedestal_mult) * ped
         arc = inten * profile * in_band
         if mod_rng is not None:
             z = _gaussian_blur_axis1(mod_rng.normal(size=(1, W)), float(theta_mod_scale))
