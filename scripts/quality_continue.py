@@ -45,10 +45,16 @@ def main():
     p.add_argument("--full-epochs", type=int, default=30)
     p.add_argument("--warmup-epochs", type=int, default=3)
     p.add_argument("--noise-passes", type=int, default=5)
+    p.add_argument("--sr-loss", default="SmoothL1Loss",
+                   help="stage-2/3 reconstruction loss (SmoothL1SSIMLoss adds "
+                        "a direct structural term)")
+    p.add_argument("--compute-dtype", choices=("fp32", "bf16"), default="bf16")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    cdtype = jnp.bfloat16 if args.compute_dtype == "bf16" else None
 
     from swinwnet_tpu.data import ArrayLoader
     from swinwnet_tpu.data.noise import add_eval_noise, make_train_noise_augment
@@ -97,8 +103,9 @@ def main():
     if args.sr_epochs:
         print("=== Stage 2 (continue): upscaler ===")
         t2 = UpscalerTrainer(
-            model, params, train_loader, val_loader, loss="SmoothL1Loss",
+            model, params, train_loader, val_loader, loss=args.sr_loss,
             num_epochs=args.sr_epochs, warmup_epochs=args.warmup_epochs,
+            compute_dtype=cdtype,
         )
         t2.train()
         params = t2.state.params
@@ -106,8 +113,9 @@ def main():
     if args.full_epochs:
         print("=== Stage 3 (continue): joint ===")
         t3 = FullModelTrainer(
-            model, params, train_loader, val_loader,
+            model, params, train_loader, val_loader, upscaler_loss=args.sr_loss,
             num_epochs=args.full_epochs, warmup_epochs=args.warmup_epochs,
+            compute_dtype=cdtype,
         )
         t3.train()
         params = t3.state.params

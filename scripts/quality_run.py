@@ -150,6 +150,10 @@ def main():
     p.add_argument("--compute-dtype", choices=("fp32", "bf16"), default="bf16",
                    help="training compute precision (bf16 = the reference-AMP "
                         "analog: bf16 compute, fp32 params/optimizer)")
+    p.add_argument("--sr-loss", default="SmoothL1Loss",
+                   help="stage-2/3 reconstruction loss (reference recipe: "
+                        "SmoothL1Loss; SmoothL1SSIMLoss adds a direct "
+                        "structural term targeting the published SSIM gate)")
     p.add_argument("--tiny", action="store_true", help="tiny arch + 50x60 for smoke runs")
     p.add_argument("--baselines", default="/root/reference/results")
     args = p.parse_args()
@@ -220,6 +224,7 @@ def main():
         model, params, train_loader, val_loader,
         seg_epochs=args.seg_epochs, sr_epochs=args.sr_epochs,
         full_epochs=args.full_epochs, warmup_epochs=args.warmup_epochs,
+        sr_loss=args.sr_loss,
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bf16" else None,
     )
     t0 = time.time()

@@ -97,6 +97,30 @@ def smooth_l1_loss(pred, target, beta: float = 1.0):
     return jnp.mean(jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta))
 
 
+def ssim_loss(pred, target, data_range: float = 1.0):
+    """1 - SSIM on the eval protocol's domain (clamped [0,1] normalized
+    patterns — tests.py:307-399 computes SSIM on clamp(norm, 0, 1)).
+
+    TPU-native extra beyond the reference's loss menu: the published SR
+    quality gate is SSIM 0.964 but the reference trains pure SmoothL1 —
+    pixel losses optimize PSNR-like error and leave the structural metric
+    unattended (round-3 runs: PSNR within 0.3 dB of published, SSIM 0.645
+    vs 0.964). The SSIM map is a differentiable stack of convolutions, so
+    optimizing it directly is free on the MXU. Clamping zeroes the SSIM
+    gradient outside [0,1]; pair with a pixel loss for coverage there."""
+    from ..evalharness.image_metrics import ssim
+
+    p = jnp.clip(pred, 0.0, 1.0)
+    t = jnp.clip(target, 0.0, 1.0)
+    return 1.0 - ssim(p, t, data_range=data_range)
+
+
+def smooth_l1_ssim_loss(pred, target, ssim_weight: float = 0.5, beta: float = 1.0):
+    """SmoothL1 + ssim_weight * (1 - SSIM): the reference recipe's pixel
+    term plus a direct structural term (see ssim_loss)."""
+    return smooth_l1_loss(pred, target, beta) + ssim_weight * ssim_loss(pred, target)
+
+
 _SEG_LOSSES = {
     "CombinedLoss": combined_loss,
     "DiceLoss": dice_loss,
@@ -109,6 +133,8 @@ _SR_LOSSES = {
     "MSELoss": mse_loss,
     "L1Loss": l1_loss,
     "SmoothL1Loss": smooth_l1_loss,
+    "SSIMLoss": ssim_loss,
+    "SmoothL1SSIMLoss": smooth_l1_ssim_loss,
 }
 
 
