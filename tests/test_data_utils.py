@@ -170,3 +170,80 @@ class TestShiftedWindows:
         # boundary windows must contain masked pairs; all values in {0, -100}
         assert (m == -100).any()
         assert set(np.unique(m)) <= {-100.0, 0.0}
+
+
+class TestCalibration:
+    """Round-4 generator-calibration pieces (data/calibration.py)."""
+
+    def test_fit_width_model_closure(self):
+        """Render with known (sigma_lambda, r) -> the TOF width fit recovers
+        them to grid precision."""
+        from swinwnet_tpu.data.calibration import fit_width_model
+        from swinwnet_tpu.data.generation import synthesize_pattern
+
+        true_sl, true_r = 0.05, 0.012
+        d = [0.9, 1.3, 1.9, 2.6, 3.4]
+        img = synthesize_pattern(
+            d, [1.0, 0.8, 1.0, 0.9, 1.0], pulse_width=true_sl,
+            resolution=true_r, seed=None, background=0.0, counts_scale=1e4,
+        ) + 100.0
+        mask = (img > 150).astype(np.float32)
+        sl, r = fit_width_model(img, mask)
+        assert abs(sl - true_sl) <= 0.015, (sl, r)
+        assert abs(r - true_r) <= 0.005, (sl, r)
+
+    def test_mask_d_bands_recovers_loci(self):
+        """A mask built from arcs at known d's yields band centers near them."""
+        from swinwnet_tpu.data.calibration import mask_d_bands
+        from swinwnet_tpu.data.generation import synthesize_pattern
+
+        d = [1.2, 2.1, 3.3]
+        clean = synthesize_pattern(
+            d, [1.0, 1.0, 1.0], pulse_width=0.02, resolution=0.012,
+            seed=None, background=0.0,
+        )
+        mask = (clean > clean.max() * 5e-3).astype(np.uint8)
+        bands = mask_d_bands(mask)
+        # band centers are pixel-density-weighted histogram maxima, so they
+        # sit within ~0.1 A of the arc's d (faint-arc placement, not metrology)
+        for dd in d:
+            assert np.abs(bands - dd).min() < 0.1, (dd, bands)
+
+    def test_refine_spec_matches_target_table(self):
+        """Fixed point: refining against a synthetic 'real' pattern makes the
+        re-rendered detected table match it (count within 1, matched d's)."""
+        from swinwnet_tpu.data.calibration import (
+            detect_union_table,
+            extract_crystal_spec,
+            refine_crystal_spec,
+        )
+        from swinwnet_tpu.data.calibration import render_calibrated
+
+        d = [1.35, 1.9, 2.6, 3.2]
+        real = render_calibrated(
+            d, [0.4, 1.0, 0.25, 0.7], stats=5e8, pulse_duration_us=40.0,
+            amp_max=900.0, seed=5, theta_mod=0.0, beam_amp=0.0, speckle_k=0.8,
+        )
+        from swinwnet_tpu.data.generation import synthesize_pattern
+        from swinwnet_tpu.data.calibration import pulse_width_for_duration
+
+        clean = synthesize_pattern(
+            d, [0.4, 1.0, 0.25, 0.7], seed=None, background=0.0,
+            pulse_width=pulse_width_for_duration(40.0), resolution=0.0145,
+        )
+        mask = (clean > clean.max() * 5e-3).astype(np.float32)
+        target = detect_union_table(real, mask)
+        spec = extract_crystal_spec(real, mask)
+        refined = refine_crystal_spec(spec, real, mask, iters=3)
+        got = render_calibrated(
+            refined["d"], refined["intensity"], stats=5e8,
+            pulse_duration_us=refined["pulse_duration_us"],
+            amp_max=refined["amp_max"], seed=77,
+            resolution=refined["resolution"], theta_mod=0.0, beam_amp=0.0,
+            speckle_k=0.8,
+        )
+        got_t = detect_union_table(got, mask)
+        assert abs(len(got_t) - len(target)) <= 1, (len(got_t), len(target))
+        t_d = np.array([p["d_com"] for p in target])
+        hit = sum(1 for p in got_t if np.abs(t_d - p["d_com"]).min() < 0.05)
+        assert hit >= len(target) - 1, (hit, len(target))
