@@ -113,6 +113,47 @@ def _cost_per_image(step, batch, *args):
     return None
 
 
+def _preflight(timeout_s: float = 240.0):
+    """Fail fast (clear JSON line, exit 3) when the device tunnel is down.
+
+    A wedged TPU grant makes the first dispatch block forever; the round
+    driver would then record a killed bench with no output. A trivial op on
+    a worker thread bounds that wait and reports the condition instead."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    result = {}
+
+    def probe():
+        try:
+            x = jnp.ones((128, 128))
+            result["ok"] = float((x @ x).sum()) == 128.0**3
+        except Exception as e:  # noqa: BLE001 — report, don't crash the probe thread
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if result.get("ok"):
+        return
+    import json as _json
+
+    print(_json.dumps({
+        "metric": "swinwnet_full_inference_throughput",
+        "value": None,
+        "unit": "images/sec/chip",
+        "error": result.get(
+            "error", f"device unreachable: trivial matmul did not complete in {timeout_s:.0f}s"
+        ),
+        # don't touch jax.default_backend() here — backend init may be the
+        # very thing that's hanging; the env var is hang-free
+        "platform": os.environ.get("JAX_PLATFORMS", "default"),
+    }))
+    raise SystemExit(3)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -121,6 +162,7 @@ def main():
     from swinwnet_tpu.pipelines.inference import inference_stages
     from swinwnet_tpu.utils import enable_persistent_cache
 
+    _preflight()
     cache_dir = enable_persistent_cache()
     cache_entries = len(os.listdir(cache_dir)) if cache_dir else 0
     print(
