@@ -85,9 +85,18 @@ def make_crystal_library(n_train: int, seed: int = 0):
         n_peaks = int(rng.integers(3, 16))
         d = sample_d_list(rng, n_peaks, d_range=(0.9, 4.5))
         inten = 10.0 ** rng.uniform(-1.5, 0.0, len(d))
+        # faint arcs (the real labeled masks cover reflections far below the
+        # detection gates — refined eval specs render them at ~3% amplitude,
+        # so training must see the same class or the segmenter never learns
+        # to mask near-floor arcs)
+        n_faint = int(rng.integers(0, 13))
+        d_faint = sample_d_list(rng, n_faint, d_range=(0.5, 4.5), min_sep=0.08)
+        d_faint = np.array([x for x in d_faint if np.abs(d - x).min() > 0.1])
         lib[f"crystal_{i:02d}"] = {
-            "d": d,
-            "intensity": inten,
+            "d": np.concatenate([d, d_faint]),
+            "intensity": np.concatenate(
+                [inten, np.full(len(d_faint), 0.03) * 10.0 ** rng.uniform(-0.3, 0.3, len(d_faint))]
+            ),
             "amp_max": float(10.0 ** rng.uniform(np.log10(450), np.log10(2500))),
         }
     return lib
