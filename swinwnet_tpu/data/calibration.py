@@ -393,6 +393,18 @@ def real_crystal_library(
 # weak arcs under the height>=5%-of-max gate)
 REAL_RESOLUTION = 0.0145
 
+# moderator storage-time decay constant, in Angstrom of wavelength
+# (lambda = 3956 t / L makes the time constant linear in lambda; 0.02 A at
+# L=6.5 m is ~33 us — a typical thermal-moderator tail). Measured round 4:
+# at FIXED per-crystal operating points a 0.02 A tail moves avgpool/
+# bilinear Integral Intensity and Shape toward the real six's values, but
+# once the refinement fixed point calibrates WITH the tail the 240-sample
+# aggregate comes out slightly WORSE (avgpool II 1.68 -> 1.41 vs published
+# 2.63; runs/CLASSICAL_r04_syn_v3 vs _v4) — the fixed point re-normalizes
+# the asymmetry away. Defaults therefore stay tail-off; the knob
+# (generation.synthesize_pattern(tof_tail=...)) is kept for study.
+TOF_TAIL_LAMBDA = 0.0
+
 
 def render_calibrated(
     d_list: Sequence[float],

@@ -49,6 +49,7 @@ def synthesize_pattern(
     theta_mod_scale: int = 30,
     pedestal: float = 0.0,
     pedestal_mult: float = 5.0,
+    tof_tail: float = 0.0,
     seed: Optional[int] = 0,
 ) -> np.ndarray:
     """Render a [H, W] float32 synthetic diffraction pattern.
@@ -139,6 +140,27 @@ def synthesize_pattern(
             z = z / max(float(z.std()), 1e-9)
             arc = arc * np.exp(theta_mod * z - 0.5 * theta_mod**2)
         img += arc
+
+    if tof_tail > 0.0:
+        # moderator storage-time decay: every arrival gets an exponential
+        # tail toward LONGER wavelength (later arrival), time constant
+        # `tof_tail` Angstrom (lambda = 3956 t / L maps decay time linearly
+        # to lambda). Linear in the image, so one causal IIR pass along the
+        # lambda axis after the reflection sum: y[i] = (1-a) x[i] + a y[i-1]
+        # (unit-mass exponential kernel). This is what makes TOF peaks
+        # asymmetric (sharp rise, slow decay) — a pure Gaussian profile
+        # rebins too consistently between the HR and pooled-LR d-grids and
+        # under-drives the published Shape (EMD) metric.
+        dlam = (lambda_range[1] - lambda_range[0]) / max(H - 1, 1)
+        a = float(np.exp(-dlam / tof_tail))
+        out = np.empty_like(img)
+        out[0] = (1.0 - a) * img[0]
+        for i in range(1, H):
+            out[i] = (1.0 - a) * img[i] + a * out[i - 1]
+        # renormalize: the IIR preserves mass only asymptotically; keep the
+        # pattern's total unchanged so amp calibration stays valid
+        tot_in, tot_out = img.sum(), out.sum()
+        img = out * (tot_in / tot_out) if tot_out > 0 else out
 
     if direct_beam > 0.0:
         # transmitted beam: Gaussian in theta (sigma ~3.5 deg), Maxwellian-ish
