@@ -236,21 +236,22 @@ def refine_crystal_spec(
     seed: int = 17,
 ) -> Dict[str, np.ndarray]:
     """Fixed-point refinement: adjust per-reflection amplitudes until the
-    calibrated render's DETECTED peak table (published scipy gates on the LR
-    832-bin grid) reproduces the real pattern's table.
+    calibrated render's DETECTED peak table (published scipy gates, union of
+    the LR 832- and HR 1241-bin grids) reproduces the real pattern's table.
 
     Why a fixed point: the extraction maps detected *integrals* straight to
     render *amplitudes*, but rendered integral = amplitude x arc length x
-    d-width (∝ d), and detectability is gated RELATIVE to the strongest peak
-    (height >= 5% of max) — so one analytic correction cannot land all peaks
-    on the real table. Iterating render -> detect -> match (tol 0.05 A) ->
+    d-width (∝ d), and detection is gated on width >= 5 bins / distance >=
+    10 bins of the REBINNED profile, which depends on neighboring arcs and
+    the noise draw — so one analytic correction cannot land all peaks on
+    the real table. Iterating render -> detect -> match (tol 0.05 A) ->
     damped log-space ratio update converges in ~3-5 rounds; real peaks the
-    render fails to detect at all get a 2x boost until they appear.
+    render fails to detect get a 2x boost (capped at 8x) until they appear,
+    and ones it can never express demote to faint arcs.
 
-    The refined spec carries d/intensity/amp_max plus the fitted
-    `resolution`; render at low pulse broadening when reproducing the
-    stored six (their sweep coordinates are unknown but their widths are
-    already folded into REAL_RESOLUTION).
+    The refined spec carries d/intensity/amp_max plus the per-crystal TOF
+    width model (`resolution`, `pulse_sigma_lambda`, `pulse_duration_us`)
+    from `fit_width_model`.
     """
     from .generation import synthesize_pattern
 
@@ -315,7 +316,6 @@ def refine_crystal_spec(
             continue
         g_d = np.array([p["d_com"] for p in got])
         g_int = np.array([p["integral_intensity"] for p in got])
-        # absolute scale: strongest matched pair sets amp_max
         ratios = np.ones_like(amps)
         matched = np.zeros(len(amps), dtype=bool)
         for k, td in enumerate(t_d):
