@@ -39,6 +39,15 @@ LEVELS = {
     "L3": (16, 30, 384, 24, B, "rowmajor", (4, 8, 16), (0,)),
     "SR1": (250, 480, 24, 3, B, "cmajor", (128, 256, 512), (2, 4, 8)),
     "SR2": (500, 960, 12, 3, min(B, 16), "cmajor", (128, 256, 512), (2, 4)),
+    # rowmajor re-race at the cmajor levels (round 4): the packed-MXU
+    # attention core only exists in the rowmajor kernel, and inside VMEM the
+    # 5x score inflation that sank the XLA packed formulation never touches
+    # HBM — if MXU contractions beat the VPU broadcast here, the 571 ms
+    # fused-kernel floor moves.
+    "L0rm": (125, 240, 48, 3, B, "rowmajor", (16, 32, 64), (0,)),
+    "L1rm": (63, 120, 96, 6, B, "rowmajor", (8, 16, 32), (0,)),
+    "SR1rm": (250, 480, 24, 3, B, "rowmajor", (32, 64, 128), (0,)),
+    "SR2rm": (500, 960, 12, 3, min(B, 16), "rowmajor", (64, 128), (0,)),
 }
 
 

@@ -130,17 +130,20 @@ def _block_kernel(
         G = packed_group
         P = BW // G
         GN = G * N
-        qkv_c = qkv.astype(cdt)
         proj = None
         for h in range(nH):
-            qh = qkv_c[:, h * hd : (h + 1) * hd].reshape(P, GN, hd)
-            kh = qkv_c[:, C + h * hd : C + (h + 1) * hd].reshape(P, GN, hd)
+            # reshapes that split the sublane axis into window structure run
+            # on FP32 arrays only (the bf16 (16,128)-tiled relayout is the
+            # round-1 Mosaic miscompile class); the cast to the compute dtype
+            # happens AFTER the reshape, as a same-shape elementwise op.
+            qh = qkv[:, h * hd : (h + 1) * hd].reshape(P, GN, hd).astype(cdt)
+            kh = qkv[:, C + h * hd : C + (h + 1) * hd].reshape(P, GN, hd).astype(cdt)
             attn = jax.lax.dot_general(
                 qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
             )  # [P, GN, GN]
             attn = attn * scale + bias_ref[h][None]
             attn = jax.nn.softmax(attn, axis=-1)
-            vh = qkv_c[:, 2 * C + h * hd : 2 * C + (h + 1) * hd].reshape(P, GN, hd)
+            vh = qkv[:, 2 * C + h * hd : 2 * C + (h + 1) * hd].reshape(P, GN, hd).astype(cdt)
             oh = jax.lax.dot_general(
                 attn.astype(cdt), vh, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
