@@ -192,7 +192,16 @@ class ScaleAwarePatchEmbed(nn.Module):
             precision=matmul_precision(self.dtype),
         )
         y = y + bias.astype(self.dtype)
-        y = LayerNorm(dtype=self.dtype, name="norm")(y)
+        from ..ops.pallas.merge_expand import ln_supported, layernorm_pallas
+
+        _, h, w, c = y.shape
+        if _merge_expand_kernel_gate(h, w, c, self.dtype, y.dtype, ln_supported):
+            # free-standing BHWC LN is HBM-glue (~13.7 ms at the published
+            # geometry, round-3 profile); one-read-one-write Pallas kernel
+            s, b = _LNParams(name="norm")(self.embed_dim)
+            y = layernorm_pallas(y, s, b, jax.default_backend() != "tpu")
+        else:
+            y = LayerNorm(dtype=self.dtype, name="norm")(y)
         return y, (new_H, new_W)
 
 
@@ -880,6 +889,21 @@ class BasicLayer(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def _merge_expand_kernel_gate(H, W, C, dtype, x_dtype, supported) -> bool:
+    """Shared opt-in gate for the fused merge/expand kernels
+    (ops/pallas/merge_expand.py): SWINWNET_MERGE_KERNEL=1, TPU backend (or
+    interpret for CPU tests), x already in the compute dtype (so the
+    kernel's LN sees exactly what the module's LN would), and a geometry
+    that admits a Mosaic-legal VMEM blocking."""
+    interpret_env = bool(os.environ.get("SWINWNET_FUSED_INTERPRET"))
+    return (
+        os.environ.get("SWINWNET_MERGE_KERNEL", "0") != "0"
+        and (jax.default_backend() == "tpu" or interpret_env)
+        and x_dtype == dtype
+        and supported(H, W, C, jnp.dtype(dtype).itemsize)
+    )
+
+
 class PatchMerging(nn.Module):
     """2x downsample: 2x2 neighbor concat -> LN -> Linear(4C->2C, no bias)
     (reference: SwinWNet.py:282-316)."""
@@ -890,6 +914,17 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
+        from ..ops.pallas.merge_expand import merge_supported, patch_merge_pallas
+
+        if _merge_expand_kernel_gate(H, W, C, self.dtype, x.dtype, merge_supported):
+            # whole module as one Pallas kernel (one HBM read + one write);
+            # param tree identical to the inline path (checkpoint compatible)
+            s, b = _LNParams(name="norm")(4 * C)
+            kernel, _ = _LinearParams(
+                features=2 * self.dim, use_bias=False, name="reduction"
+            )(4 * C)
+            interp = jax.default_backend() != "tpu"
+            return patch_merge_pallas(x, s, b, kernel, interp)
         pad_h = H % 2
         pad_w = W % 2
         if pad_h or pad_w:
@@ -914,6 +949,15 @@ class PatchExpanding(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
+        from ..ops.pallas.merge_expand import expand_supported, patch_expand_pallas
+
+        if _merge_expand_kernel_gate(H, W, C, self.dtype, x.dtype, expand_supported):
+            kernel, _ = _LinearParams(
+                features=2 * self.dim, use_bias=False, name="expand"
+            )(C)
+            s, b = _LNParams(name="norm")(C // 2)
+            interp = jax.default_backend() != "tpu"
+            return patch_expand_pallas(x, kernel, s, b, interp)
         x = Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="expand")(x)
         x = x.reshape(B, H, W, 2, 2, C // 2)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, C // 2)
