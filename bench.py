@@ -113,21 +113,27 @@ def _cost_per_image(step, batch, *args):
     return None
 
 
-def _preflight(timeout_s: float = 240.0):
+def _preflight(
+    timeout_s: float = float(os.environ.get("SWINWNET_BENCH_PREFLIGHT_TIMEOUT_S", "240")),
+):
     """Fail fast (clear JSON line, exit 3) when the device tunnel is down.
 
     A wedged TPU grant makes the first dispatch block forever; the round
     driver would then record a killed bench with no output. A trivial op on
     a worker thread bounds that wait and reports the condition instead."""
+    import sys
     import threading
 
-    import jax
-    import jax.numpy as jnp
-
     result = {}
+    # regression-test hook: simulate a wedged dispatch without real hardware
+    hang_s = float(os.environ.get("SWINWNET_BENCH_PREFLIGHT_HANG_S", "0") or 0)
 
     def probe():
         try:
+            if hang_s:
+                time.sleep(hang_s)
+            import jax.numpy as jnp
+
             x = jnp.ones((128, 128))
             result["ok"] = float((x @ x).sum()) == 128.0**3
         except Exception as e:  # noqa: BLE001 — report, don't crash the probe thread
@@ -144,6 +150,8 @@ def _preflight(timeout_s: float = 240.0):
         "metric": "swinwnet_full_inference_throughput",
         "value": None,
         "unit": "images/sec/chip",
+        # machine-readable marker: 'infra down', not 'bench crashed' (ADVICE r04)
+        "infra_failure": True,
         "error": result.get(
             "error", f"device unreachable: trivial matmul did not complete in {timeout_s:.0f}s"
         ),
@@ -151,7 +159,14 @@ def _preflight(timeout_s: float = 240.0):
         # very thing that's hanging; the env var is hang-free
         "platform": os.environ.get("JAX_PLATFORMS", "default"),
     }))
-    raise SystemExit(3)
+    # The probe thread may still be wedged inside a PJRT dispatch; a normal
+    # SystemExit would run interpreter teardown (C++ static destructors /
+    # atexit of the runtime) underneath it, which throws and aborts with
+    # rc 134 (BENCH_r04). Flush and leave without teardown so the driver
+    # sees the intended clean exit 3.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(3)
 
 
 def main():
