@@ -15,6 +15,10 @@ carries a `records` list with the full matrix:
 * train_stage1_b4_bf16 / train_stage3_odd_b4_bf16 — the same steps under
   mixed precision (bf16 compute, fp32 params/optimizer — the reference-AMP
   analog, Segmentator_pretrain.py:5,65,184-190)
+* train_stage1_b4_loader_py / _loader_native — stage-1 fed fresh batches per
+  step through the python ArrayLoader (inline gather+noise, the reference's
+  single-threaded DataLoader analog) vs the C++ prefetching NativeBatcher
+  (swinwnet_tpu/native/batcher.cpp) — measures host input-pipeline overlap
 * full_b64_bf16_mesh — the headline pipeline sharded over ALL local devices
   via a 1-D data mesh (`--mesh` / SWINWNET_BENCH_MESH=1; records `devices`
   and per-chip img/s — trivially 1 device today, N when hardware exists)
@@ -333,6 +337,70 @@ def main():
                 "name": name, "kind": kind, "batch": batch, "dtype": dt_name,
                 "remat": True, "images_per_sec": round(ips, 2), "iters": iters,
                 "steady_state_s": round(dt, 1),
+            })
+            print(f"# {name}: {ips:.2f} img/s ({iters} iters, {dt:.0f}s)", flush=True)
+
+    # ---------------- loader-fed training (input-pipeline overlap) ----------------
+    if want("train_stage1_b4_loader_py") or want("train_stage1_b4_loader_native"):
+        from swinwnet_tpu.data import ArrayLoader
+        from swinwnet_tpu.data.native_loader import NativeBatcher
+        from swinwnet_tpu.data.noise import make_train_noise_augment
+        from swinwnet_tpu.train.freeze import masked_adamw
+        from swinwnet_tpu.train.losses import combined_loss
+        from swinwnet_tpu.train.trainers import TrainState, make_stage1_step
+
+        batch = 4
+        model = wnet(jnp.float32, False, remat=True)
+        n_src = 64  # divisible by batch: every step sees a full static shape
+        images_np = rng.uniform(0, 1e3, (n_src, 250, 480)).astype(np.float32)
+        masks_np = (rng.uniform(size=(n_src, 250, 480)) > 0.9).astype(np.float32)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 250, 480)))["params"]
+        tx = masked_adamw(params, "stage1", 1e-4)
+        step = make_stage1_step(model, tx, combined_loss)
+
+        def py_stream():
+            loader = ArrayLoader(
+                images_np, masks_np, batch_size=batch, shuffle=True,
+                augment=make_train_noise_augment(),
+            )
+            while True:
+                yield from loader
+
+        def native_stream():
+            nb = NativeBatcher(images_np, masks_np, batch_size=batch, shuffle=True,
+                               add_noise=True)
+            while True:
+                imgs, msks, _ = nb.next()
+                yield imgs, msks
+
+        streams = []
+        if want("train_stage1_b4_loader_py"):
+            streams.append(("train_stage1_b4_loader_py", py_stream))
+        if want("train_stage1_b4_loader_native") and NativeBatcher.available():
+            streams.append(("train_stage1_b4_loader_native", native_stream))
+        for name, mk_stream in streams:
+            it = mk_stream()
+            state = TrainState.create(params, tx)
+            imgs0, msks0 = next(it)
+            s, _aux = step(state, jnp.asarray(imgs0), jnp.asarray(msks0))
+            _ = float(np.asarray(s.step))  # warmup + compile barrier
+
+            def run(n, it=it, state=state):
+                ss = state
+                for _ in range(n):
+                    imgs, msks = next(it)
+                    ss, _ = step(ss, jnp.asarray(imgs), jnp.asarray(msks))
+                _ = float(np.asarray(ss.step))
+
+            iters, _ = _steady_iters(run, TARGET_S)
+            t0 = time.perf_counter()
+            run(iters)
+            dt = time.perf_counter() - t0
+            ips = batch * iters / dt
+            records.append({
+                "name": name, "kind": "training_stage1_loader_fed", "batch": batch,
+                "dtype": "float32", "remat": True, "images_per_sec": round(ips, 2),
+                "iters": iters, "steady_state_s": round(dt, 1),
             })
             print(f"# {name}: {ips:.2f} img/s ({iters} iters, {dt:.0f}s)", flush=True)
 

@@ -26,10 +26,17 @@ def main():
     parser.add_argument("--epochs", type=int, default=2)
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--rl-epochs", type=int, default=1)
+    parser.add_argument("--loader", choices=("array", "native"), default="array",
+                        help="input pipeline: python ArrayLoader or the C++ "
+                             "prefetching NativeBatcher")
+    parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
     parser.add_argument("--out", default="runs/synthetic")
     args = parser.parse_args()
 
     import jax
+
+    if args.cpu:  # env alone is ignored when the TPU plugin pre-registers
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from swinwnet_tpu.data import ArrayLoader
@@ -60,11 +67,22 @@ def main():
     # a model trained on bare synthetic renders over-segments noisy inputs)
     from swinwnet_tpu.data.noise import make_train_noise_augment
 
-    train_loader = ArrayLoader(
-        images[:split], masks[:split], batch_size=args.batch, shuffle=True,
-        augment=make_train_noise_augment(),
-    )
-    val_loader = ArrayLoader(images[split:], masks[split:], batch_size=args.batch)
+    if args.loader == "native":
+        from swinwnet_tpu.data.native_loader import NativeBatcher
+
+        train_loader = NativeBatcher(
+            images[:split], masks[:split], batch_size=args.batch, shuffle=True,
+            add_noise=True, noise_mu_range=(0.0, 150.0),
+        )
+        val_loader = NativeBatcher(
+            images[split:], masks[split:], batch_size=args.batch, shuffle=False
+        )
+    else:
+        train_loader = ArrayLoader(
+            images[:split], masks[:split], batch_size=args.batch, shuffle=True,
+            augment=make_train_noise_augment(),
+        )
+        val_loader = ArrayLoader(images[split:], masks[split:], batch_size=args.batch)
 
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, H, W)))["params"]
 

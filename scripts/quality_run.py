@@ -163,6 +163,10 @@ def main():
                    help="stage-2/3 reconstruction loss (reference recipe: "
                         "SmoothL1Loss; SmoothL1SSIMLoss adds a direct "
                         "structural term targeting the published SSIM gate)")
+    p.add_argument("--loader", choices=("auto", "array", "native"), default="auto",
+                   help="training input pipeline: python ArrayLoader or the "
+                        "C++ prefetching NativeBatcher (native/batcher.cpp); "
+                        "auto = native when the toolchain can build it")
     p.add_argument("--tiny", action="store_true", help="tiny arch + 50x60 for smoke runs")
     p.add_argument("--baselines", default="/root/reference/results")
     args = p.parse_args()
@@ -214,14 +218,32 @@ def main():
     # per-batch noise levels (mu ~ U(0, 150), sigma = 0.2*mu) make the train
     # distribution cover the protocol; the val loader gets the protocol's
     # exact mu=100 so val losses track the actual eval target.
-    train_loader = ArrayLoader(
-        train_images, train_masks, batch_size=args.batch, shuffle=True,
-        augment=make_train_noise_augment(),
+    from swinwnet_tpu.data.native_loader import NativeBatcher
+
+    use_native = args.loader == "native" or (
+        args.loader == "auto" and NativeBatcher.available()
     )
-    val_loader = ArrayLoader(
-        eval_images, eval_masks, batch_size=args.batch,
-        augment=make_train_noise_augment(mu_range=(100.0, 100.0)),
-    )
+    if use_native:
+        # same noise protocol, assembled by the C++ prefetch worker so the
+        # next batch is ready while the TPU runs the current step
+        train_loader = NativeBatcher(
+            train_images, train_masks, batch_size=args.batch, shuffle=True,
+            add_noise=True, noise_mu_range=(0.0, 150.0), seed=3,
+        )
+        val_loader = NativeBatcher(
+            eval_images, eval_masks, batch_size=args.batch, shuffle=False,
+            add_noise=True, noise_mu_range=(100.0, 100.0), seed=4,
+        )
+    else:
+        train_loader = ArrayLoader(
+            train_images, train_masks, batch_size=args.batch, shuffle=True,
+            augment=make_train_noise_augment(),
+        )
+        val_loader = ArrayLoader(
+            eval_images, eval_masks, batch_size=args.batch,
+            augment=make_train_noise_augment(mu_range=(100.0, 100.0)),
+        )
+    print(f"input pipeline: {'NativeBatcher (C++ prefetch)' if use_native else 'ArrayLoader'}")
 
     import jax.numpy as jnp
 
@@ -371,6 +393,7 @@ def main():
         "config": "SwinWNet diffraction+error_matrix (config #4 analog)",
         "data": f"synthetic crystals; {len(train_names)}x{args.renders_per_crystal} train, "
                 f"{len(HELD_OUT)}x{args.eval_renders_per_crystal} eval x{args.noise_passes} noise passes",
+        "input_pipeline": "native" if use_native else "array",
         "geometry": [args.height, args.width],
         "n_eval_samples": int(len(eval_images) * args.noise_passes),
         "segmentation": {res: seg_summary(seg_all[res]) for res in seg_all},

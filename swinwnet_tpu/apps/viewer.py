@@ -65,8 +65,9 @@ class ViewerSession:
         lambda_range=GEOMETRY.lambda_range,
         d_centers_low=d_centers_lr,
         d_centers_high=d_centers_hr,
+        split: bool = False,
     ):
-        self.infer = SwinWNetInference(model, variables)
+        self.infer = SwinWNetInference(model, variables, split=split)
         self.theta_range = theta_range
         self.lambda_range = lambda_range
         self.qw_lr = Qwrapper(theta_range, lambda_range, fixed_centers=d_centers_low)
@@ -112,12 +113,20 @@ def main(argv=None):
     parser.add_argument("--out", required=True, help="output directory")
     parser.add_argument("--theta", nargs=2, type=float, default=GEOMETRY.theta_range)
     parser.add_argument("--lam", nargs=2, type=float, default=GEOMETRY.lambda_range)
+    parser.add_argument(
+        "--split", action="store_true",
+        help="compile the three towers as separate executables "
+             "(pipelines/split.py) — ~3x lower peak compile memory for "
+             "memory-constrained compile services",
+    )
     args = parser.parse_args(argv)
 
     model, variables, error_matrix = load_model_any(args.weights)
     print(f"loaded {args.weights} (error_matrix={error_matrix})")
 
-    session = ViewerSession(model, variables, tuple(args.theta), tuple(args.lam))
+    session = ViewerSession(
+        model, variables, tuple(args.theta), tuple(args.lam), split=args.split
+    )
     images = load_crystal_npy(args.input)
     stages = session.run(images)
 

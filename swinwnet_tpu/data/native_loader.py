@@ -2,10 +2,18 @@
 (swinwnet_tpu/native/batcher.cpp).
 
 Compiles the shared library on first use (g++, cached beside the source) and
-exposes the same iteration protocol as `ArrayLoader`, but with batch assembly
-(gather + ensure_2ch error channel + eval-protocol noise) running in a C++
-worker thread that stays ahead of the accelerator. Falls back cleanly when a
-compiler is unavailable (`NativeBatcher.available()`).
+exposes the same iteration protocol as `ArrayLoader` — (images [B,1,H,W],
+masks [B,H,W]) per batch — but with batch assembly (index gather + the
+noise-injection protocols) running in a C++ worker thread that stays one
+batch ahead of the accelerator. Falls back cleanly when a compiler is
+unavailable (`NativeBatcher.available()`).
+
+Noise semantics match `data/noise.py`: one mu ~ U(*noise_mu_range) draw per
+batch, additive N(mu, sigma_frac * mu) per pixel — the train augmentation is
+the default range (0, 150); the published eval protocol N(100, 20) is
+noise_mu_range=(100, 100). The RNG streams are C++ std::mt19937_64, so exact
+sample values differ from the numpy loader (the distributions are the
+protocol; tests assert distributional + determinism properties).
 """
 
 from __future__ import annotations
@@ -53,6 +61,7 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_float,
             ctypes.c_float,
+            ctypes.c_float,
             ctypes.c_uint64,
         ]
         lib.batcher_next.restype = ctypes.c_int64
@@ -71,10 +80,11 @@ def _fptr(a: np.ndarray):
 
 
 class NativeBatcher:
-    """Iterator of ([B,2,H,W] images, [B,H,W] masks) with C++ prefetch.
+    """Iterator of ([B,1,H,W] images, [B,H,W] masks) with C++ prefetch.
 
-    Endless stream over the dataset (epochs reshuffle internally); use
-    `batches_per_epoch` to bound a training epoch loop.
+    Drop-in for `ArrayLoader` in the trainers (`train/trainers.py` iterate
+    `for images, masks in loader` once per epoch): each `__iter__` yields one
+    epoch's worth of batches from an endless internally-reshuffling stream.
     """
 
     def __init__(
@@ -84,8 +94,8 @@ class NativeBatcher:
         batch_size: int = 8,
         shuffle: bool = True,
         add_noise: bool = False,
-        noise_mu: float = 100.0,
-        noise_sigma: float = 20.0,
+        noise_mu_range: Tuple[float, float] = (0.0, 150.0),
+        sigma_frac: float = 0.2,
         seed: int = 0,
     ):
         lib = _build()
@@ -95,7 +105,7 @@ class NativeBatcher:
         # keep sources alive + contiguous for the lifetime of the handle
         self._images = np.ascontiguousarray(images, dtype=np.float32)
         if self._images.ndim == 4:
-            self._images = self._images[:, 0]
+            self._images = np.ascontiguousarray(self._images[:, 0])
         self._masks = (
             np.ascontiguousarray(masks, dtype=np.float32) if masks is not None else None
         )
@@ -111,8 +121,9 @@ class NativeBatcher:
             batch_size,
             int(shuffle),
             int(add_noise),
-            noise_mu,
-            noise_sigma,
+            float(noise_mu_range[0]),
+            float(noise_mu_range[1]),
+            float(sigma_frac),
             seed,
         )
 
@@ -121,11 +132,15 @@ class NativeBatcher:
         return _build() is not None
 
     @property
+    def n_samples(self) -> int:
+        return self.N
+
+    @property
     def batches_per_epoch(self) -> int:
         return (self.N + self.batch_size - 1) // self.batch_size
 
     def next(self) -> Tuple[np.ndarray, Optional[np.ndarray], int]:
-        imgs = np.empty((self.batch_size, 2, self.H, self.W), np.float32)
+        imgs = np.empty((self.batch_size, 1, self.H, self.W), np.float32)
         msks = np.empty((self.batch_size, self.H, self.W), np.float32)
         n = self._lib.batcher_next(self._handle, _fptr(imgs), _fptr(msks))
         return imgs, (msks if self._masks is not None else None), int(n)

@@ -1,15 +1,25 @@
 // Native host-side batch assembly for the training/eval data pipeline.
 //
 // The reference feeds torch DataLoaders from pandas pickles (single-threaded
-// python). Here the per-batch host work — index gather, the ensure_2ch
-// Poisson-error channel err = sqrt(|I|) (ST_Inference_Pipline.py:32-37), and
-// the published evaluation protocol's additive N(mu, sigma) noise
-// (Physycal_metrics_test.ipynb cell 14) — runs in C++ worker threads that
-// assemble the NEXT batch while the TPU executes the current step, so the
-// host never sits on the accelerator's critical path.
+// python, Segmentator_pretrain.py:168-200). Here the per-batch host work —
+// index gather + the noise-injection protocols — runs in a C++ worker thread
+// that assembles the NEXT batch while the TPU executes the current step, so
+// the host never sits on the accelerator's critical path.
+//
+// Batches are single-channel [B, H, W]: every consumer computes the
+// ensure_2ch Poisson-error channel err = sqrt(|I|) ON DEVICE
+// (ops/norms.py; ST_Inference_Pipline.py:32-37), so assembling it on the
+// host would only double the host->device transfer.
+//
+// Noise protocol (one draw of mu per batch): mu ~ U(mu_lo, mu_hi),
+// sigma = sigma_frac * mu, additive N(mu, sigma) per pixel. This covers both
+//   * the train augmentation  mu ~ U(0, 150), sigma = 0.2 mu
+//     (data/noise.py make_train_noise_augment), and
+//   * the published eval protocol N(100, 20) via mu_lo = mu_hi = 100,
+//     sigma_frac = 0.2 (Physycal_metrics_test.ipynb cell 14).
 //
 // Exposed as a plain C API consumed via ctypes (swinwnet_tpu/data/native_loader.py).
-// Build: g++ -O3 -march=native -shared -fPIC -std=c++17 batcher.cpp -o libbatcher.so
+// Build: g++ -O3 -shared -fPIC -std=c++17 batcher.cpp -o libbatcher.so -pthread
 
 #include <atomic>
 #include <cmath>
@@ -25,7 +35,7 @@
 namespace {
 
 struct Batch {
-    std::vector<float> images;  // [B, 2, H, W] (diffraction + error channel)
+    std::vector<float> images;  // [B, H, W] (diffraction channel only)
     std::vector<float> masks;   // [B, H, W]
     int64_t n = 0;              // actual samples in this batch
 };
@@ -36,7 +46,7 @@ struct Loader {
     int64_t N = 0, H = 0, W = 0, batch = 0;
     bool shuffle = false;
     bool add_noise = false;
-    float noise_mu = 100.0f, noise_sigma = 20.0f;
+    float mu_lo = 0.0f, mu_hi = 150.0f, sigma_frac = 0.2f;
     uint64_t seed = 0;
 
     std::vector<int64_t> order;
@@ -67,23 +77,27 @@ struct Loader {
         Batch b;
         b.n = count;
         const int64_t hw = H * W;
-        b.images.resize(static_cast<size_t>(batch) * 2 * hw, 0.0f);
+        b.images.resize(static_cast<size_t>(batch) * hw, 0.0f);
         b.masks.resize(static_cast<size_t>(batch) * hw, 0.0f);
 
         std::mt19937_64 rng(seed * 1000003ull + static_cast<uint64_t>(epoch) * 131ull +
                             static_cast<uint64_t>(start));
-        std::normal_distribution<float> noise(noise_mu, noise_sigma);
+        // one mu per batch, like make_train_noise_augment
+        float bmu = mu_lo;
+        if (mu_hi > mu_lo) {
+            std::uniform_real_distribution<float> mu_dist(mu_lo, mu_hi);
+            bmu = mu_dist(rng);
+        }
+        std::normal_distribution<float> noise(bmu, sigma_frac * bmu);
 
         for (int64_t k = 0; k < count; ++k) {
             const int64_t src = order[start + k];
             const float* img = images + src * hw;
-            float* dst_diff = b.images.data() + (k * 2 + 0) * hw;
-            float* dst_err = b.images.data() + (k * 2 + 1) * hw;
-            for (int64_t p = 0; p < hw; ++p) {
-                float v = img[p];
-                if (add_noise) v += noise(rng);
-                dst_diff[p] = v;
-                dst_err[p] = std::sqrt(std::fabs(v));  // ensure_2ch
+            float* dst = b.images.data() + k * hw;
+            if (add_noise && bmu > 0.0f) {
+                for (int64_t p = 0; p < hw; ++p) dst[p] = img[p] + noise(rng);
+            } else {
+                std::memcpy(dst, img, sizeof(float) * hw);
             }
             if (masks) {
                 std::memcpy(b.masks.data() + k * hw, masks + src * hw,
@@ -126,7 +140,7 @@ extern "C" {
 
 void* batcher_create(const float* images, const float* masks, int64_t N, int64_t H,
                      int64_t W, int64_t batch, int shuffle, int add_noise,
-                     float noise_mu, float noise_sigma, uint64_t seed) {
+                     float mu_lo, float mu_hi, float sigma_frac, uint64_t seed) {
     auto* l = new Loader();
     l->images = images;
     l->masks = masks;
@@ -136,15 +150,16 @@ void* batcher_create(const float* images, const float* masks, int64_t N, int64_t
     l->batch = batch;
     l->shuffle = shuffle != 0;
     l->add_noise = add_noise != 0;
-    l->noise_mu = noise_mu;
-    l->noise_sigma = noise_sigma;
+    l->mu_lo = mu_lo;
+    l->mu_hi = mu_hi;
+    l->sigma_frac = sigma_frac;
     l->seed = seed;
     l->worker = std::thread([l] { l->run(); });
     return l;
 }
 
 // Blocks until the prefetched batch is ready; copies into caller buffers
-// (out_images: [batch, 2, H, W]; out_masks: [batch, H, W]). Returns the
+// (out_images: [batch, H, W]; out_masks: [batch, H, W]). Returns the
 // number of real samples in the batch.
 int64_t batcher_next(void* handle, float* out_images, float* out_masks) {
     auto* l = static_cast<Loader*>(handle);

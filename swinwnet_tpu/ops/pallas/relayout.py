@@ -39,6 +39,17 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# The blocks' trailing dims are intrinsically small (ws=5, Ww, or C), so the
+# (8,128) VMEM tiles pad them hard: the worst pipeline geometries measure
+# ~24M (C=96 levels) to ~36M (SR2, C=12: the [R,ws,Ww,ws,C] block pads C
+# 12->128) of in-flight scoped VMEM, over Mosaic's 16M default. The v5e has
+# 128M of VMEM; raise the cap instead of shrinking blocks — subdividing any
+# axis here only increases the padded fraction (every candidate axis is
+# already below one tile). Round-4 hardware failure: scoped alloc 23.82M at
+# [16,40,80,96] (runs/relayout_ab_r04.txt).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
 
 def _row_group(n_rows: int, interpret: bool = False) -> int | None:
@@ -86,6 +97,7 @@ def _partition_impl(x, ws: int, interpret: bool):
         out_specs=pl.BlockSpec((C, ws, ws, R, Ww), lambda g: (0, 0, 0, g, 0)),
         out_shape=jax.ShapeDtypeStruct((C, ws, ws, B * Hw, Ww), x.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(xr)
     return out.reshape(C, ws * ws, B * Hw * Ww)  # free row-major merges
 
@@ -109,6 +121,7 @@ def _reverse_impl(windows, ws: int, Hp: int, Wp: int, interpret: bool):
         out_specs=pl.BlockSpec((R, ws, Ww, ws, C), lambda g: (g, 0, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B * Hw, ws, Ww, ws, C), windows.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(wr)
     return out.reshape(B, Hp, Wp, C)  # free row-major merges
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core.config import GEOMETRY
-from .matching import peak_matching_loss
+from .host_oracle import peak_matching_loss
 from .peaks import find_peaks_for_batch
 from .qwrapper import Qwrapper
 

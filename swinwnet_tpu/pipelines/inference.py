@@ -83,12 +83,22 @@ def make_inference_fn(model: SwinWNet, donate: bool = False):
 
 class SwinWNetInference:
     """Reference-compatible wrapper: call with a batch, read stage attributes
-    (ST_Inference_Pipline.py:17-26). Returns `images_masked_hr`."""
+    (ST_Inference_Pipline.py:17-26). Returns `images_masked_hr`.
 
-    def __init__(self, model: SwinWNet, variables):
+    `split=True` compiles the three towers as separate XLA executables
+    (pipelines/split.py) instead of one whole-pipeline graph — ~3x lower
+    peak compile memory, for memory-constrained compile services (the
+    round-4 remote-compile HTTP 500s) at the cost of cross-stage fusion."""
+
+    def __init__(self, model: SwinWNet, variables, split: bool = False):
         self.model = model
         self.variables = variables
-        self._fn = make_inference_fn(model)
+        if split:
+            from .split import make_split_inference_fn
+
+            self._fn = make_split_inference_fn(model)
+        else:
+            self._fn = make_inference_fn(model)
         self._reset_outputs()
 
     def _reset_outputs(self):

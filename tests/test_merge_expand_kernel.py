@@ -122,6 +122,7 @@ def test_geometry_gate():
         assert expand_supported(h, w, c, 2), (h, w, c)
 
 
+@pytest.mark.slow
 def test_model_forward_with_merge_kernels(monkeypatch):
     """End-to-end: a SwinWNet forward with SWINWNET_MERGE_KERNEL=1 (interpret
     mode off-TPU) routes every PatchMerging/PatchExpanding through the fused

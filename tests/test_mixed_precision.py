@@ -12,6 +12,7 @@ classes accept the knob end-to-end.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from swinwnet_tpu.models import SwinWNet
 from swinwnet_tpu.train.freeze import masked_adamw
@@ -49,6 +50,7 @@ def test_with_compute_dtype_clone():
     assert clone.embed_dim == model.embed_dim
 
 
+@pytest.mark.slow
 def test_stage1_bf16_step_params_stay_fp32_and_loss_tracks_fp32():
     model = SwinWNet(**TINY)
     images, masks = _data()
@@ -75,6 +77,7 @@ def test_stage1_bf16_step_params_stay_fp32_and_loss_tracks_fp32():
     assert losses["bf16"][-1] < losses["bf16"][0]
 
 
+@pytest.mark.slow
 def test_stage3_odd_bf16_step_runs_and_is_finite():
     model = SwinWNet(**TINY)
     images, masks = _data()

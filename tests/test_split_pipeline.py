@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from swinwnet_tpu.models import SwinWNet
 from swinwnet_tpu.pipelines import STAGE_NAMES
@@ -19,6 +20,7 @@ TINY = dict(
 )
 
 
+@pytest.mark.slow
 def test_split_matches_single_graph():
     model = SwinWNet(**TINY)
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 10, (2, 1, 40, 40)), jnp.float32)
@@ -32,3 +34,22 @@ def test_split_matches_single_graph():
         a, b = np.asarray(single[name]), np.asarray(split[name])
         denom = max(np.abs(a).max(), 1e-9)
         assert np.abs(a - b).max() / denom < 1e-5, name
+
+
+@pytest.mark.slow
+def test_viewer_session_split_flag():
+    """The attribute-API wrapper and the viewer CLI expose the split-compiled
+    path (`SwinWNetInference(split=True)`, `viewer --split`)."""
+    from swinwnet_tpu.pipelines.inference import SwinWNetInference
+
+    model = SwinWNet(**TINY)
+    x = np.random.default_rng(1).uniform(0, 10, (1, 1, 40, 40)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 40, 40)))
+
+    fused = SwinWNetInference(model, variables)
+    split = SwinWNetInference(model, variables, split=True)
+    out_a = np.asarray(fused(x))
+    out_b = np.asarray(split(x))
+    np.testing.assert_allclose(out_a, out_b, rtol=1e-5, atol=1e-6)
+    for name in STAGE_NAMES:
+        assert getattr(split, name) is not None

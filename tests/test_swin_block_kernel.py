@@ -316,6 +316,7 @@ def test_deep_level_routing_padded_grid(C, nH):
         del os.environ["SWINWNET_FUSED_DEEP"]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("C,nH,grid", [(48, 3, (8, 15)), (192, 12, (8, 15)), (12, 3, (10, 15))])
 def test_fused_gradients_match_unfused(C, nH, grid):
     """use_pallas=True is trainable (round 3): the custom-VJP backward

@@ -79,6 +79,7 @@ def test_schedule():
     assert float(sched(99 * 5)) < 0.01
 
 
+@pytest.mark.slow
 def test_stage1_freezes_upscaler(setup):
     model, params, images, masks = setup
     tx = masked_adamw(params, "stage1", 1e-3)
@@ -93,6 +94,7 @@ def test_stage1_freezes_upscaler(setup):
     assert "ca_seg_to_sr" not in changed and "ca_sr_to_seg" not in changed
 
 
+@pytest.mark.slow
 def test_stage2_trains_only_upscaler(setup):
     model, params, images, masks = setup
     tx = masked_adamw(params, "stage2", 1e-3)
@@ -104,6 +106,7 @@ def test_stage2_trains_only_upscaler(setup):
     assert changed and all(t.startswith("upscaler_") for t in changed)
 
 
+@pytest.mark.slow
 def test_stage3_even_odd(setup):
     model, params, images, masks = setup
     tx = masked_adamw(params, "stage3", 1e-3)
@@ -121,6 +124,7 @@ def test_stage3_even_odd(setup):
     assert np.isfinite(float(aux["loss"]))
 
 
+@pytest.mark.slow
 def test_stage1_loss_decreases(setup):
     model, params, images, masks = setup
     tx = masked_adamw(params, "stage1", 1e-3)
@@ -132,6 +136,7 @@ def test_stage1_loss_decreases(setup):
     assert float(loss) < float(first)
 
 
+@pytest.mark.slow
 def test_rl_step(setup):
     import optax
 
@@ -172,6 +177,7 @@ def test_rl_step(setup):
     assert int(new_state.policy.step) == 1
 
 
+@pytest.mark.slow
 def test_trainer_save_resume(setup, tmp_path):
     from swinwnet_tpu.train.trainers import SegmentatorTrainer
 
@@ -189,3 +195,26 @@ def test_trainer_save_resume(setup, tmp_path):
     b = jax.tree.leaves(t2.state.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert not t2.resume(str(tmp_path / "empty"))
+
+
+@pytest.mark.slow
+def test_native_batcher_drop_in(setup):
+    """The C++ NativeBatcher feeds SegmentatorTrainer exactly like
+    ArrayLoader: one epoch of [B,1,H,W]/[B,H,W] float32 batches."""
+    from swinwnet_tpu.data.native_loader import NativeBatcher
+    from swinwnet_tpu.train.trainers import SegmentatorTrainer
+
+    if not NativeBatcher.available():
+        pytest.skip("no C++ toolchain for the native batcher")
+    model, params, images, masks = setup
+    loader = NativeBatcher(
+        np.asarray(images), np.asarray(masks), batch_size=2, shuffle=True,
+        add_noise=True, seed=5,
+    )
+    t = SegmentatorTrainer(model, params, loader, num_epochs=2,
+                           warmup_epochs=1, verbose=False)
+    hist = t.train()
+    loader.close()
+    assert len(hist["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in hist["train_loss"])
+    assert _tree_diff(params, t.state.params)
