@@ -70,8 +70,10 @@ def main():
         _ = float(jnp.sum(out))
         return (time.perf_counter() - t0) / iters
 
+    # ln first (most likely to compile: no lane reshapes), merge last; a
+    # Mosaic compile failure at one site must not kill the whole A/B
     for kind, sites in (
-        ("merge", MERGE_SITES), ("expand", EXPAND_SITES), ("ln", LN_SITES)
+        ("ln", LN_SITES), ("expand", EXPAND_SITES), ("merge", MERGE_SITES)
     ):
         for H, W, C in sites:
             bb = B if H < 200 else max(1, B // 4)
@@ -130,8 +132,13 @@ def main():
             if not ok:
                 print(f"  {kind} [{bb},{H},{W},{C}] kernel unsupported; skipped")
                 continue
-            t_mod = timeit(via_module, x)
-            t_ker = timeit(via_kernel, x)
+            try:
+                t_mod = timeit(via_module, x)
+                t_ker = timeit(via_kernel, x)
+            except Exception as e:  # Mosaic compile failures are per-site data
+                msg = str(e).splitlines()[0][:120]
+                print(f"  {kind} [{bb},{H},{W},{C}] FAILED: {msg}")
+                continue
             print(
                 f"  {kind} [{bb},{H},{W},{C}]: xla {t_mod*1e3:7.2f} ms  "
                 f"kernel {t_ker*1e3:7.2f} ms  ({t_mod/t_ker:5.2f}x)"

@@ -15,18 +15,19 @@ Layout strategy (what makes this Mosaic-friendly):
   (untiled) axis, so the 2x2 row pairing is a free leading-axis reshape
   ([H, ...] -> [H//2, 2, ...]) and odd H is a static trace-time special
   case — no input padding, no masks, no program-id arithmetic.
-* The column pairing is the ROW-MAJOR identity [W, C] == [W//2, 2*C]:
-  one fp32 reshape per tap row (the only retiling op in the kernel; fp32
-  reshapes of window structure are the class the fused block kernels
-  already rely on — ops/pallas/swin_block.py design notes).
+* The column pairing is stride-2 SUBLANE slices + a lane concat (round-5
+  rework: the row-major reshape [W, C] == [W//2, 2*C] this kernel first
+  used is rejected by hardware Mosaic — infer-vector-layout "unsupported
+  shape cast" at the pipeline channel widths, runs/merge_ab_r05.txt —
+  while strided sublane access lowers).
 * The resulting channel order is [x(0,0), x(0,1), x(1,0), x(1,1)] while the
   reference concatenates [x0, x1, x2, x3] = [(0,0), (1,0), (0,1), (1,1)].
   LayerNorm statistics are order-invariant, so the wrappers PERMUTE the LN
   scale/bias and reduction-weight rows at trace time instead of shuffling
   data in the kernel.
-* Pixel-shuffle in expand: the p-th output row parity is the lane slice
-  xe[..., p*C:(p+1)*C], whose [W, C] -> [2W, C//2] row-major reshape IS the
-  column interleave; row interleave is a leading-axis stack+merge.
+* Pixel-shuffle in expand: out[2h+p, 2w+r] reads the lane slice
+  xe[..., p*C + r*C/2 :+ C/2]; the row interleave is a leading-axis
+  stack+merge and the column interleave a stride-2 sublane store.
 
 Differentiable via the same custom-VJP recompute pattern as
 `fused_block_autodiff`: the primal is the kernel, the backward re-derives
@@ -141,10 +142,13 @@ def _merge_kernel(x_ref, ln_s_ref, ln_b_ref, w_ref, o_ref):
             # odd H: reference zero-pads one row; the tail pair is (x[H-1], 0)
             a = jnp.concatenate([a, x32[he:]], axis=0)
             b = jnp.concatenate([b, jnp.zeros((1, WBLK, C), jnp.float32)], axis=0)
-        # row-major identity [W, C] == [W//2, 2C]: the column pairing
-        a = a.reshape(hc, WBLK // 2, 2 * C)
-        b = b.reshape(hc, WBLK // 2, 2 * C)
-        cat = jnp.concatenate([a, b], axis=-1)  # [hc, WBLK//2, 4C]
+        # column pairing via stride-2 sublane slices + lane concat. (The
+        # row-major reshape [W, C] -> [W//2, 2C] is rejected by hardware
+        # Mosaic — infer-vector-layout "unsupported shape cast" at C=48,
+        # runs/merge_ab_r05.txt — but produces the same channel order.)
+        cat = jnp.concatenate(
+            [a[:, 0::2], a[:, 1::2], b[:, 0::2], b[:, 1::2]], axis=-1
+        )  # [hc, WBLK//2, 4C]
         y = _ln_lane(cat, ln_s_ref[0], ln_b_ref[0])
         out = _mm_lane(y, w_ref[:], cdt)  # [hc, WBLK//2, 2C] fp32
         o_ref[0, h0 : h0 + hc] = out.astype(o_ref.dtype)
@@ -160,15 +164,23 @@ def _expand_kernel(x_ref, w_ref, ln_s_ref, ln_b_ref, o_ref):
         xe = _mm_lane(x_ref[0, h0 : h0 + hc], w_ref[:], cdt)  # [hc, WBLK, 2C] f32
         # reference LN sees the Dense output rounded to the compute dtype
         xe = xe.astype(cdt).astype(jnp.float32)
-        rows = []
-        for p in (0, 1):
-            s = xe[:, :, p * C : (p + 1) * C]  # out rows 2h+p, channels (q, c2)
-            s = s.reshape(hc, 2 * WBLK, C2)  # row-major identity: col interleave
-            rows.append(_ln_lane(s, ln_s_ref[0], ln_b_ref[0])[:, None])
-        inter = jnp.concatenate(rows, axis=1)  # [hc, 2, 2*WBLK, C2]
-        o_ref[0, 2 * h0 : 2 * (h0 + hc)] = inter.reshape(
-            2 * hc, 2 * WBLK, C2
-        ).astype(o_ref.dtype)
+        # pixel shuffle: out[2h+p, 2w+r] <- xe[h, w, p*C + r*C2 :+ C2]. The
+        # row interleave is a free leading-axis stack+merge; the column
+        # interleave is a stride-2 sublane STORE (the row-major lane-split
+        # reshape [W, C] -> [2W, C//2] is Mosaic-illegal on hardware, same
+        # class as the merge kernel's failure).
+        for r in (0, 1):
+            q = jnp.concatenate(
+                [
+                    _ln_lane(
+                        xe[:, :, p * C + r * C2 : p * C + (r + 1) * C2],
+                        ln_s_ref[0], ln_b_ref[0],
+                    )[:, None]
+                    for p in (0, 1)
+                ],
+                axis=1,
+            ).reshape(2 * hc, WBLK, C2)
+            o_ref[0, 2 * h0 : 2 * (h0 + hc), r::2] = q.astype(o_ref.dtype)
 
 
 def _merge_perm(C: int) -> np.ndarray:
