@@ -813,38 +813,19 @@ class BasicLayer(nn.Module):
                         fused_layout = ""
                 else:
                     fused_layout = "rowmajor"
-            # the cmajor relayout can run as a Pallas permutation kernel
-            # (round 4: XLA's lane-crossing transposes measured ~20-30x over
-            # copy bandwidth — ops/pallas/relayout.py); opt in with
-            # SWINWNET_RELAYOUT_KERNEL=1 — default stays XLA until the
-            # hardware A/B (scripts/relayout_ab.py) shows a win
-            relayout_kernel = (
-                fused_layout == "cmajor"
-                and os.environ.get("SWINWNET_RELAYOUT_KERNEL", "0") != "0"
-            )
-            if relayout_kernel:
-                from ..ops.pallas.relayout import relayout_supported
-
-                ws = self.window_size
-                relayout_kernel = relayout_supported(
-                    B, H + (-H) % ws, W + (-W) % ws, ws
-                )
-            if relayout_kernel:
-                from ..ops.pallas.relayout import window_partition_cmajor_pallas
-
-                ws = self.window_size
-                pad_h, pad_w = (-H) % ws, (-W) % ws
-                xp = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0))) if (pad_h or pad_w) else x
-                Hp, Wp = H + pad_h, W + pad_w
-                x = window_partition_cmajor_pallas(xp, ws, interpret=interpret_env)
-            else:
-                part = {
-                    "nmajor": window_partition_nmajor,
-                    "cmajor": window_partition_cmajor,
-                    "rowmajor": window_partition,
-                    "": window_partition,
-                }[fused_layout]
-                x, (Hp, Wp) = part(x, self.window_size)
+            # the cmajor relayout stays on XLA transposes: a Pallas
+            # permutation kernel was built and raced in rounds 4-5
+            # (runs/relayout_ab_r05.txt — 39.8 ms vs XLA 1.1 ms for the
+            # L0 partition+reverse round trip; XLA cancels adjacent
+            # partition∘reverse pairs, which no standalone kernel can) and
+            # deleted as a measured loss.
+            part = {
+                "nmajor": window_partition_nmajor,
+                "cmajor": window_partition_cmajor,
+                "rowmajor": window_partition,
+                "": window_partition,
+            }[fused_layout]
+            x, (Hp, Wp) = part(x, self.window_size)
         for i in range(self.depth):
             x = block_cls(
                 dim=self.dim,
@@ -865,20 +846,13 @@ class BasicLayer(nn.Module):
                 name=f"blocks_{i}",
             )(x, deterministic)
         if windowed:
-            if relayout_kernel:
-                from ..ops.pallas.relayout import window_reverse_cmajor_pallas
-
-                x = window_reverse_cmajor_pallas(
-                    x, self.window_size, Hp, Wp, interpret=interpret_env
-                )
-            else:
-                rev = {
-                    "nmajor": window_reverse_nmajor,
-                    "cmajor": window_reverse_cmajor,
-                    "rowmajor": window_reverse,
-                    "": window_reverse,
-                }[fused_layout]
-                x = rev(x, self.window_size, Hp, Wp)
+            rev = {
+                "nmajor": window_reverse_nmajor,
+                "cmajor": window_reverse_cmajor,
+                "rowmajor": window_reverse,
+                "": window_reverse,
+            }[fused_layout]
+            x = rev(x, self.window_size, Hp, Wp)
             if Hp != H or Wp != W:
                 x = x[:, :H, :W, :]
         return x

@@ -384,27 +384,7 @@ def test_fused_gate_routing_matrix():
     assert route(96, 6, jnp.bfloat16, (1, 50, 60, 96), interp) == "fused"
 
 
-class TestRelayoutKernels:
-    """Pallas cmajor partition/reverse (ops/pallas/relayout.py) must be
-    bit-exact vs the XLA transposes at every pipeline channel width,
-    including non-tiling (padded) grids after external padding."""
-
-    def test_partition_reverse_roundtrip_exact(self):
-        from swinwnet_tpu.ops.pallas.relayout import (
-            window_partition_cmajor_pallas,
-            window_reverse_cmajor_pallas,
-        )
-        from swinwnet_tpu.ops.window import window_partition_cmajor
-
-        rng = np.random.default_rng(3)
-        for B, H, W, C in ((2, 10, 15, 12), (2, 25, 30, 48), (1, 20, 20, 96), (3, 5, 5, 24)):
-            x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
-            want, (Hp, Wp) = window_partition_cmajor(x, 5)
-            got = window_partition_cmajor_pallas(x, 5, interpret=True)
-            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-            back = window_reverse_cmajor_pallas(got, 5, Hp, Wp, interpret=True)
-            np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
-
+class TestPackedMXU:
     def test_packed_mxu_rowmajor_matches_reference(self):
         """Round-4 packed-MXU attention core (packed_group=5): fp32-exact vs
         the XLA reference at the deep-level signatures, with and without pad
