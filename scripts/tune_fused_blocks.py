@@ -39,11 +39,9 @@ LEVELS = {
     "L3": (16, 30, 384, 24, B, "rowmajor", (4, 8, 16), (0,)),
     "SR1": (250, 480, 24, 3, B, "cmajor", (128, 256, 512), (2, 4, 8)),
     "SR2": (500, 960, 12, 3, min(B, 16), "cmajor", (128, 256, 512), (2, 4)),
-    # rowmajor re-race at the cmajor levels (round 4): the packed-MXU
-    # attention core only exists in the rowmajor kernel, and inside VMEM the
-    # 5x score inflation that sank the XLA packed formulation never touches
-    # HBM — if MXU contractions beat the VPU broadcast here, the 571 ms
-    # fused-kernel floor moves.
+    # rowmajor re-race at the cmajor levels (round 4; the round-4 in-kernel
+    # packed-MXU variant these rows raced was deleted in round 5 — measured
+    # loss standalone, illegal block shape in situ).
     "L0rm": (125, 240, 48, 3, B, "rowmajor", (16, 32, 64), (0,)),
     "L1rm": (63, 120, 96, 6, B, "rowmajor", (8, 16, 32), (0,)),
     "SR1rm": (250, 480, 24, 3, B, "rowmajor", (32, 64, 128), (0,)),
@@ -120,19 +118,17 @@ def main():
                 m = _window_pad_mask_np(H, W, 5)
                 mask = jnp.asarray(np.tile(m, (bb, 1, 1)).reshape(-1, 1))
             for bw in bws:
-                for pg in (0, 5):  # 0 = per-window dots; 5 = packed-MXU tiles
-                    try:
-                        fn = jax.jit(
-                            lambda xx, bw=bw, pg=pg: fused_swin_block(
-                                xx, *args.values(), num_heads=nH, window_tokens=N,
-                                pad_mask=mask, block_windows=bw, packed_group=pg,
-                            )
+                try:
+                    fn = jax.jit(
+                        lambda xx, bw=bw: fused_swin_block(
+                            xx, *args.values(), num_heads=nH, window_tokens=N,
+                            pad_mask=mask, block_windows=bw,
                         )
-                        dt = timeit(fn, x2)
-                        tag = "packed" if pg else "plain "
-                        print(f"  BW={bw:4d} {tag}: {dt*1e3:8.2f} ms ({bb/dt:8.1f} img/s)")
-                    except Exception as e:
-                        print(f"  BW={bw:4d} pg={pg}: FAIL {type(e).__name__}: {str(e)[:120]}")
+                    )
+                    dt = timeit(fn, x2)
+                    print(f"  BW={bw:4d}: {dt*1e3:8.2f} ms ({bb/dt:8.1f} img/s)")
+                except Exception as e:
+                    print(f"  BW={bw:4d}: FAIL {type(e).__name__}: {str(e)[:120]}")
 
 
 if __name__ == "__main__":

@@ -192,16 +192,13 @@ class ScaleAwarePatchEmbed(nn.Module):
             precision=matmul_precision(self.dtype),
         )
         y = y + bias.astype(self.dtype)
-        from ..ops.pallas.merge_expand import ln_supported, layernorm_pallas
-
-        _, h, w, c = y.shape
-        if _merge_expand_kernel_gate(h, w, c, self.dtype, y.dtype, ln_supported):
-            # free-standing BHWC LN is HBM-glue (~13.7 ms at the published
-            # geometry, round-3 profile); one-read-one-write Pallas kernel
-            s, b = _LNParams(name="norm")(self.embed_dim)
-            y = layernorm_pallas(y, s, b, jax.default_backend() != "tpu")
-        else:
-            y = LayerNorm(dtype=self.dtype, name="norm")(y)
+        # free-standing BHWC LN stays on XLA: a one-read-one-write Pallas
+        # LN kernel won its standalone A/B 3.32x (21.4 -> 6.5 ms at the
+        # published geometry) yet measured NEUTRAL-to-negative in the full
+        # pipeline (45.88 vs 46.19 img/s, runs/ln_insitu_r05.txt) — in situ
+        # XLA fuses this LN into its producers, so the standalone XLA
+        # number was an isolation artifact. Kernel deleted in round 5.
+        y = LayerNorm(dtype=self.dtype, name="norm")(y)
         return y, (new_H, new_W)
 
 
@@ -710,12 +707,8 @@ class SwinTransformerBlock(nn.Module):
             nW = m.shape[0]
             Bv = x.shape[0] // nW
             mask = (jnp.asarray(np.tile(m, (Bv, 1, 1)).reshape(-1, 1)),)
-        # SWINWNET_FUSED_DEEP=packed routes the deep levels through the
-        # window-packed MXU attention core (5-window 125-token tiles;
-        # round 4 — see ops/pallas/swin_block.py _block_kernel)
-        packed = 5 if os.environ.get("SWINWNET_FUSED_DEEP") == "packed" else 0
         out = fused_block_autodiff(
-            "rowmajor", self.num_heads, N, bool(mask), (8, interp, packed),
+            "rowmajor", self.num_heads, N, bool(mask), (8, interp),
             x.reshape(-1, C).astype(self.dtype), *mask, *weights.values(),
         )
         return out.reshape(x.shape)
@@ -780,8 +773,11 @@ class BasicLayer(nn.Module):
             #   C<=96 in round 2). Default OFF; SWINWNET_FUSED_DEEP=1
             #   enables it for A/B.
             # "1" = plain rowmajor kernel (round 3 — measured slower than
-            # XLA); "packed" = rowmajor with packed-MXU attention (round 4)
-            fuse_deep = os.environ.get("SWINWNET_FUSED_DEEP", "0") in ("1", "packed")
+            # XLA). The round-4 "packed" in-kernel variant was deleted in
+            # round 5: the XLA-level packed formulation loses 1.4-2.2x at
+            # every site (runs/attn_packed_r05.txt) and the in-kernel one
+            # cannot lower (375-row blocks violate Mosaic's 8-row rule).
+            fuse_deep = os.environ.get("SWINWNET_FUSED_DEEP", "0") == "1"
             # fp32 (training precision) doubles every kernel buffer: at C=96
             # the fori-loop cmajor kernel's scoped-VMEM stack measures 16.8 MB
             # against the 16 MB limit (fine in bf16: ~8.4 MB), so fp32 keeps
@@ -863,24 +859,17 @@ class BasicLayer(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def _merge_expand_kernel_gate(H, W, C, dtype, x_dtype, supported) -> bool:
-    """Shared opt-in gate for the fused merge/expand kernels
-    (ops/pallas/merge_expand.py): SWINWNET_MERGE_KERNEL=1, TPU backend (or
-    interpret for CPU tests), x already in the compute dtype (so the
-    kernel's LN sees exactly what the module's LN would), and a geometry
-    that admits a Mosaic-legal VMEM blocking."""
-    interpret_env = bool(os.environ.get("SWINWNET_FUSED_INTERPRET"))
-    return (
-        os.environ.get("SWINWNET_MERGE_KERNEL", "0") != "0"
-        and (jax.default_backend() == "tpu" or interpret_env)
-        and x_dtype == dtype
-        and supported(H, W, C, jnp.dtype(dtype).itemsize)
-    )
-
-
 class PatchMerging(nn.Module):
     """2x downsample: 2x2 neighbor concat -> LN -> Linear(4C->2C, no bias)
-    (reference: SwinWNet.py:282-316)."""
+    (reference: SwinWNet.py:282-316).
+
+    Runs as inline XLA ops. A whole-module Pallas kernel (concat/LN/
+    reduction in one VMEM pass) was built in round 4 and deleted in
+    round 5: both kernel formulations of the 2x2 column pairing — an
+    in-register lane-merging shape cast and a strided-slice rework — are
+    rejected by Mosaic on real TPUs ("unsupported shape cast", then "Only
+    2D gather is supported"; runs/merge_ab_r05.txt, runs/merge_ab_r05b.txt).
+    Interleaving lanes has no legal Mosaic idiom at these widths."""
 
     dim: int
     dtype: jnp.dtype = jnp.float32
@@ -888,17 +877,6 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        from ..ops.pallas.merge_expand import merge_supported, patch_merge_pallas
-
-        if _merge_expand_kernel_gate(H, W, C, self.dtype, x.dtype, merge_supported):
-            # whole module as one Pallas kernel (one HBM read + one write);
-            # param tree identical to the inline path (checkpoint compatible)
-            s, b = _LNParams(name="norm")(4 * C)
-            kernel, _ = _LinearParams(
-                features=2 * self.dim, use_bias=False, name="reduction"
-            )(4 * C)
-            interp = jax.default_backend() != "tpu"
-            return patch_merge_pallas(x, s, b, kernel, interp)
         pad_h = H % 2
         pad_w = W % 2
         if pad_h or pad_w:
@@ -915,7 +893,11 @@ class PatchMerging(nn.Module):
 
 class PatchExpanding(nn.Module):
     """2x upsample: Linear(C->2C, no bias) -> pixel-shuffle -> LN
-    (reference: SwinWNet.py:390-412)."""
+    (reference: SwinWNet.py:390-412).
+
+    Inline XLA ops; the round-4 whole-module Pallas kernel was deleted in
+    round 5 for the mirrored Mosaic limitation PatchMerging hit (lane
+    splitting instead of lane interleaving — see PatchMerging's note)."""
 
     dim: int
     dtype: jnp.dtype = jnp.float32
@@ -923,15 +905,6 @@ class PatchExpanding(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        from ..ops.pallas.merge_expand import expand_supported, patch_expand_pallas
-
-        if _merge_expand_kernel_gate(H, W, C, self.dtype, x.dtype, expand_supported):
-            kernel, _ = _LinearParams(
-                features=2 * self.dim, use_bias=False, name="expand"
-            )(C)
-            s, b = _LNParams(name="norm")(C // 2)
-            interp = jax.default_backend() != "tpu"
-            return patch_expand_pallas(x, kernel, s, b, interp)
         x = Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="expand")(x)
         x = x.reshape(B, H, W, 2, 2, C // 2)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, C // 2)

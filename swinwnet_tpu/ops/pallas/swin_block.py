@@ -91,7 +91,6 @@ def _block_kernel(
     block_windows: int,
     has_mask: bool,
     mlp_hidden_chunk: int = 0,
-    packed_group: int = 0,
 ):
     if has_mask:
         mask_ref, o_ref = rest
@@ -117,61 +116,6 @@ def _block_kernel(
         y = y * mask_ref[:]
     qkv = jnp.dot(y.astype(cdt), wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = qkv + bqkv_ref[:]  # [R, 3C] fp32
-
-    # ---- window-packed MXU attention (round 4) ----
-    # With packed_group = G, G windows' tokens are stacked into one
-    # [G*N, G*N] score matmul per pack (5 x 25 = 125 rows ~ a full 128-row
-    # MXU tile vs a lone 25x25's 4% fill). bias_ref then holds the
-    # block-diagonal [nH, G*N, G*N] tiled rel-pos bias with -1e9 off-blocks,
-    # which kills the redundant cross-window scores in the softmax. Unlike
-    # the XLA packed formulation (measured LOSS — PERFORMANCE.md), the 5x
-    # score inflation here lives only in VMEM, never in HBM.
-    if packed_group:
-        G = packed_group
-        P = BW // G
-        GN = G * N
-        proj = None
-        for h in range(nH):
-            # reshapes that split the sublane axis into window structure run
-            # on FP32 arrays only (the bf16 (16,128)-tiled relayout is the
-            # round-1 Mosaic miscompile class); the cast to the compute dtype
-            # happens AFTER the reshape, as a same-shape elementwise op.
-            qh = qkv[:, h * hd : (h + 1) * hd].reshape(P, GN, hd).astype(cdt)
-            kh = qkv[:, C + h * hd : C + (h + 1) * hd].reshape(P, GN, hd).astype(cdt)
-            attn = jax.lax.dot_general(
-                qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-            )  # [P, GN, GN]
-            attn = attn * scale + bias_ref[h][None]
-            attn = jax.nn.softmax(attn, axis=-1)
-            vh = qkv[:, 2 * C + h * hd : 2 * C + (h + 1) * hd].reshape(P, GN, hd).astype(cdt)
-            oh = jax.lax.dot_general(
-                attn.astype(cdt), vh, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [P, GN, hd]
-            part = jnp.dot(
-                oh.reshape(R, hd).astype(cdt),
-                wproj_ref[h * hd : (h + 1) * hd, :],
-                preferred_element_type=jnp.float32,
-            )
-            proj = part if proj is None else proj + part
-        x32 = x32 + proj + bproj_ref[:]
-        y2 = _ln(x32, ln2_s_ref[:], ln2_b_ref[:])
-        H = w1_ref.shape[1]
-        hchunk = mlp_hidden_chunk or H
-        y2c = y2.astype(cdt)
-        mlp = None
-        for h0 in range(0, H, hchunk):
-            hw = min(hchunk, H - h0)
-            hmid = jnp.dot(y2c, w1_ref[:, h0 : h0 + hw], preferred_element_type=jnp.float32)
-            hmid = hmid + b1_ref[h0 : h0 + hw]
-            hmid = 0.5 * hmid * (1.0 + _erf32(hmid * jnp.float32(0.7071067811865476)))
-            part = jnp.dot(
-                hmid.astype(cdt), w2_ref[h0 : h0 + hw, :], preferred_element_type=jnp.float32
-            )
-            mlp = part if mlp is None else mlp + part
-        x32 = x32 + mlp + b2_ref[:]
-        o_ref[:] = x32.astype(o_ref.dtype)
-        return
 
     # ---- per-window MSA, heads unrolled, hd in <=16 chunks ----
     # Each head-chunk's output is folded straight into the out-projection
@@ -256,9 +200,7 @@ def _pick_block_windows(C: int, N: int, mlp_hidden: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "num_heads", "window_tokens", "block_windows", "interpret", "packed_group"
-    ),
+    static_argnames=("num_heads", "window_tokens", "block_windows", "interpret"),
 )
 def fused_swin_block(
     x,
@@ -280,7 +222,6 @@ def fused_swin_block(
     pad_mask=None,
     block_windows: int = 0,
     interpret: bool = False,
-    packed_group: int = 0,
 ):
     """x [Wt*N, C] window tokens -> full Swin block output, one fused kernel.
 
@@ -290,24 +231,12 @@ def fused_swin_block(
 
     `pad_mask` [Wt*N, 1] {0,1} marks real (non-pad) token slots for grids
     that don't tile by the window; None when the grid tiles exactly.
-
-    `packed_group` > 0 switches the attention core to window-packed MXU
-    tiles of that many windows (see _block_kernel); the rel-pos bias is
-    expanded into the block-diagonal [nH, G*N, G*N] form here, at trace time.
     """
     Rt, C = x.shape
     N = window_tokens
     Wt = Rt // N
     BW = block_windows or _pick_block_windows(C, N, w1.shape[1])
     BW = min(BW, max(1, Wt))
-    if packed_group:
-        G = packed_group
-        BW = max(G, BW // G * G)  # packs must tile the block
-        eye = jnp.eye(G, dtype=jnp.float32)
-        rel_bias = (
-            eye[:, None, :, None] * rel_bias[:, None, :, None, :]
-            + (1.0 - eye)[:, None, :, None] * jnp.float32(-1e9)
-        ).reshape(num_heads, G * N, G * N)
     pad = (-Wt) % BW
     if pad:
         x = jnp.pad(x, ((0, pad * N), (0, 0)))
@@ -330,7 +259,6 @@ def fused_swin_block(
         block_windows=BW,
         has_mask=pad_mask is not None,
         mlp_hidden_chunk=hchunk,
-        packed_group=packed_group,
     )
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
@@ -340,7 +268,7 @@ def fused_swin_block(
         full((C,)),
         full((C, 3 * C)),
         full((3 * C,)),
-        full((nH, N, N) if not packed_group else (nH, packed_group * N, packed_group * N)),
+        full((nH, N, N)),
         full((C, C)),
         full((C,)),
         full((C,)),
@@ -900,10 +828,8 @@ def _layout_xla_block(layout, num_heads, window_tokens, x, mask, *weights):
 
 
 def _fused_kernel_call(layout, num_heads, window_tokens, opts, x, mask, *weights):
-    # opts = (score_chunk, interpret[, packed_group]) — packed_group only
-    # meaningful for the rowmajor kernel (round-4 packed-MXU attention)
+    # opts = (score_chunk, interpret)
     score_chunk, interpret = opts[0], opts[1]
-    packed_group = opts[2] if len(opts) > 2 else 0
     if layout == "cmajor":
         return fused_swin_block_cst(
             x, *weights, num_heads=num_heads, pad_mask=mask,
@@ -916,7 +842,7 @@ def _fused_kernel_call(layout, num_heads, window_tokens, opts, x, mask, *weights
         )
     return fused_swin_block(
         x, *weights, num_heads=num_heads, window_tokens=window_tokens,
-        pad_mask=mask, interpret=interpret, packed_group=packed_group,
+        pad_mask=mask, interpret=interpret,
     )
 
 

@@ -384,46 +384,3 @@ def test_fused_gate_routing_matrix():
     assert route(96, 6, jnp.bfloat16, (1, 50, 60, 96), interp) == "fused"
 
 
-class TestPackedMXU:
-    def test_packed_mxu_rowmajor_matches_reference(self):
-        """Round-4 packed-MXU attention core (packed_group=5): fp32-exact vs
-        the XLA reference at the deep-level signatures, with and without pad
-        masks (the block-diagonal -1e9 bias must reproduce per-window
-        attention exactly)."""
-        from swinwnet_tpu.ops.pallas.swin_block import (
-            fused_swin_block,
-            swin_block_reference,
-        )
-
-        rng = np.random.default_rng(5)
-        N = 25
-        for C, nH, Wt, with_mask in ((192, 12, 20, True), (384, 24, 10, False)):
-            x = jnp.asarray(rng.standard_normal((Wt * N, C)) * 0.1, jnp.float32)
-            args = dict(
-                ln1_s=jnp.ones((C,), jnp.float32), ln1_b=jnp.zeros((C,), jnp.float32),
-                wqkv=jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.05, jnp.float32),
-                bqkv=jnp.zeros((3 * C,), jnp.float32),
-                rel_bias=jnp.asarray(rng.standard_normal((nH, N, N)) * 0.05, jnp.float32),
-                wproj=jnp.asarray(rng.standard_normal((C, C)) * 0.05, jnp.float32),
-                bproj=jnp.zeros((C,), jnp.float32),
-                ln2_s=jnp.ones((C,), jnp.float32), ln2_b=jnp.zeros((C,), jnp.float32),
-                w1=jnp.asarray(rng.standard_normal((C, 4 * C)) * 0.05, jnp.float32),
-                b1=jnp.zeros((4 * C,), jnp.float32),
-                w2=jnp.asarray(rng.standard_normal((4 * C, C)) * 0.05, jnp.float32),
-                b2=jnp.zeros((C,), jnp.float32),
-            )
-            mask = None
-            if with_mask:
-                mask = jnp.asarray(
-                    (rng.uniform(size=(Wt * N, 1)) > 0.2).astype(np.float32)
-                )
-            want = swin_block_reference(
-                x, *args.values(), num_heads=nH, window_tokens=N, pad_mask=mask
-            )
-            got = fused_swin_block(
-                x, *args.values(), num_heads=nH, window_tokens=N,
-                pad_mask=mask, block_windows=10, interpret=True, packed_group=5,
-            )
-            np.testing.assert_allclose(
-                np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
-            )
