@@ -93,6 +93,7 @@ def test_stage3_odd_bf16_step_runs_and_is_finite():
     assert all(leaf.dtype == jnp.float32 for leaf in jax.tree.leaves(state.params))
 
 
+@pytest.mark.slow
 def test_trainer_class_accepts_compute_dtype():
     from swinwnet_tpu.data import ArrayLoader
     from swinwnet_tpu.train import SegmentatorTrainer
@@ -111,6 +112,7 @@ def test_trainer_class_accepts_compute_dtype():
     assert np.isfinite(hist["train_loss"][0])
 
 
+@pytest.mark.slow
 def test_rl_step_accepts_compute_dtype():
     from swinwnet_tpu.data import ArrayLoader
     from swinwnet_tpu.models.alpha_policy import AlphaPolicy

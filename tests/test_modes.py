@@ -21,6 +21,7 @@ TINY = dict(
 )
 
 
+@pytest.mark.slow
 def test_bf16_segmentation_agrees_with_fp32():
     """bf16 is the throughput mode; binarized masks must agree with fp32 on
     the overwhelming majority of pixels."""
