@@ -1,4 +1,6 @@
 #!/bin/bash
+# HISTORICAL RECORD (round 4): references A/B scripts deleted in round 5
+# (relayout_ab.py, merge_ab.py) after their hardware races — do not re-run.
 # Round-4 TPU work queue: waits for the tunnel, then runs the staged TPU
 # jobs sequentially (single-client device — strictly one at a time):
 #   1. relayout-kernel hardware A/B            (~10 min)

@@ -1,4 +1,6 @@
 #!/bin/bash
+# HISTORICAL RECORD (round 5, first pass): references merge_ab.py, deleted
+# in round 5 after its hardware race — do not re-run; see tpu_queue_r05c.sh.
 # Round-5 TPU work queue. The flagship quality run (scripts/quality_run.py
 # --out QUALITY_r05, PID in /tmp/quality_r05.pid) owns the single-client
 # device; this queue waits for it to exit, re-probes the tunnel, then runs

@@ -1,4 +1,6 @@
 #!/bin/bash
+# HISTORICAL RECORD (round 5, second pass): references merge_ab.py, deleted
+# after this queue ran — do not re-run.
 # Round-5 follow-up TPU queue: the first queue (tpu_queue_r05.sh) ran the
 # merge A/B and flag sweep against the PRE-rework merge/expand kernels
 # (Mosaic shape-cast failure, runs/merge_ab_r05.txt) and lost the device
