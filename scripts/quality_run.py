@@ -163,6 +163,15 @@ def main():
                    help="stage-2/3 reconstruction loss (reference recipe: "
                         "SmoothL1Loss; SmoothL1SSIMLoss adds a direct "
                         "structural term targeting the published SSIM gate)")
+    p.add_argument("--keep-best", action="store_true",
+                   help="per-stage best-val model selection (the QUALITY_r05 "
+                        "stage-3 trajectory overfit monotonically; without "
+                        "this the eval sees the worst-val final params)")
+    p.add_argument("--flip-augment", action="store_true",
+                   help="theta-mirror (W-flip) train augmentation; physically "
+                        "valid (d depends on |theta| only) and doubles "
+                        "effective crystal diversity. Forces the array loader "
+                        "(the C++ batcher has no joint image+mask transform)")
     p.add_argument("--loader", choices=("auto", "array", "native"), default="auto",
                    help="training input pipeline: python ArrayLoader or the "
                         "C++ prefetching NativeBatcher (native/batcher.cpp); "
@@ -219,10 +228,13 @@ def main():
     # distribution cover the protocol; the val loader gets the protocol's
     # exact mu=100 so val losses track the actual eval target.
     from swinwnet_tpu.data.native_loader import NativeBatcher
+    from swinwnet_tpu.data.noise import make_theta_flip_augment
 
     use_native = args.loader == "native" or (
         args.loader == "auto" and NativeBatcher.available()
     )
+    if args.flip_augment:
+        use_native = False
     if use_native:
         # same noise protocol, assembled by the C++ prefetch worker so the
         # next batch is ready while the TPU runs the current step
@@ -238,6 +250,7 @@ def main():
         train_loader = ArrayLoader(
             train_images, train_masks, batch_size=args.batch, shuffle=True,
             augment=make_train_noise_augment(),
+            joint_augment=make_theta_flip_augment() if args.flip_augment else None,
         )
         val_loader = ArrayLoader(
             eval_images, eval_masks, batch_size=args.batch,
@@ -257,6 +270,7 @@ def main():
         full_epochs=args.full_epochs, warmup_epochs=args.warmup_epochs,
         sr_loss=args.sr_loss,
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bf16" else None,
+        keep_best=args.keep_best,
     )
     t0 = time.time()
     params, _histories = pipe.run()
@@ -394,6 +408,13 @@ def main():
         "data": f"synthetic crystals; {len(train_names)}x{args.renders_per_crystal} train, "
                 f"{len(HELD_OUT)}x{args.eval_renders_per_crystal} eval x{args.noise_passes} noise passes",
         "input_pipeline": "native" if use_native else "array",
+        "recipe": {
+            "epochs": [args.seg_epochs, args.sr_epochs, args.full_epochs],
+            "compute_dtype": args.compute_dtype,
+            "sr_loss": args.sr_loss,
+            "keep_best": args.keep_best,
+            "flip_augment": args.flip_augment,
+        },
         "geometry": [args.height, args.width],
         "n_eval_samples": int(len(eval_images) * args.noise_passes),
         "segmentation": {res: seg_summary(seg_all[res]) for res in seg_all},

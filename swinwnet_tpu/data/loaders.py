@@ -83,6 +83,7 @@ class ArrayLoader:
         drop_last: bool = False,
         seed: int = 0,
         augment=None,
+        joint_augment=None,
     ):
         self.images = np.asarray(images, dtype=np.float32)
         if self.images.ndim == 3:
@@ -96,6 +97,10 @@ class ArrayLoader:
         # images, with an rng derived from (seed, epoch, batch start) so
         # epochs see fresh noise but runs stay reproducible
         self.augment = augment
+        # optional geometric augmentation that must transform images and
+        # masks together: joint_augment(rng, images, masks) -> (images,
+        # masks); applied before the image-only augment
+        self.joint_augment = joint_augment
         self._epoch = 0
 
     @property
@@ -122,8 +127,11 @@ class ArrayLoader:
             if len(batch_idx) == 0:
                 break
             images = self.images[batch_idx]
-            if self.augment is not None:
-                aug_rng = np.random.default_rng((self.seed, epoch, start))
-                images = self.augment(aug_rng, images)
             masks = None if self.masks is None else self.masks[batch_idx]
+            if self.joint_augment is not None or self.augment is not None:
+                aug_rng = np.random.default_rng((self.seed, epoch, start))
+                if self.joint_augment is not None:
+                    images, masks = self.joint_augment(aug_rng, images, masks)
+                if self.augment is not None:
+                    images = self.augment(aug_rng, images)
             yield images, masks

@@ -40,3 +40,35 @@ def make_train_noise_augment(mu_range=(0.0, 150.0), sigma_frac: float = 0.2):
         )
 
     return augment
+
+
+def make_theta_flip_augment(p: float = 0.5):
+    """Per-sample detector-mirror augmentation (joint image+mask).
+
+    The detector's scattering-angle axis spans theta in [-170, 170] deg over
+    the W columns with the direct beam at theta=0 (the center column), and
+    every physical quantity of the pattern depends on theta only through
+    |theta| (d = lambda / (2 sin(|theta|/2)) — Diffraction_metrics.py:43-49),
+    so mirroring a pattern along W yields an equally valid detector image of
+    the same crystal. Flipping image and mask together doubles the effective
+    training diversity for free — the TPU-framework substitute for the
+    reference's 4560-pattern McStas sweep, which this environment cannot run
+    (BLOCKERS.md).
+
+    Returns a `joint_augment(rng, images, masks) -> (images, masks)` callable
+    for `ArrayLoader(joint_augment=...)`; masks may be None (images-only
+    datasets). Flip decisions are drawn per sample from `rng`.
+    """
+
+    def joint_augment(rng: np.random.Generator, images: np.ndarray, masks):
+        flip = rng.random(len(images)) < p
+        if not flip.any():
+            return images, masks
+        images = images.copy()
+        images[flip] = images[flip, ..., ::-1]
+        if masks is not None:
+            masks = masks.copy()
+            masks[flip] = masks[flip, ..., ::-1]
+        return images, masks
+
+    return joint_augment

@@ -35,6 +35,7 @@ class SwinWNetTrainingPipeline:
         seg_weight_hr: float = 1.0,
         rec_weight: float = 1.0,
         compute_dtype=None,
+        keep_best: bool = False,
         verbose: bool = True,
     ):
         self.model = model
@@ -54,6 +55,7 @@ class SwinWNetTrainingPipeline:
             seg_weight_hr=seg_weight_hr,
             rec_weight=rec_weight,
             compute_dtype=compute_dtype,
+            keep_best=keep_best,
         )
         self.verbose = verbose
         self.histories: Dict[str, dict] = {}
@@ -74,6 +76,7 @@ class SwinWNetTrainingPipeline:
             lr=c["lr"],
             weight_decay=c["weight_decay"],
             compute_dtype=c["compute_dtype"],
+            keep_best=c["keep_best"],
             verbose=self.verbose,
         )
         self.histories["stage1"] = t1.train()
@@ -93,6 +96,7 @@ class SwinWNetTrainingPipeline:
             lr=c["lr"],
             weight_decay=c["weight_decay"],
             compute_dtype=c["compute_dtype"],
+            keep_best=c["keep_best"],
             verbose=self.verbose,
         )
         self.histories["stage2"] = t2.train()
@@ -116,6 +120,7 @@ class SwinWNetTrainingPipeline:
             seg_weight_hr=c["seg_weight_hr"],
             rec_weight=c["rec_weight"],
             compute_dtype=c["compute_dtype"],
+            keep_best=c["keep_best"],
             verbose=self.verbose,
         )
         self.histories["stage3"] = t3.train()

@@ -247,13 +247,45 @@ class _BaseTrainer:
     numpy/jnp batch tuples with `len()`. `log_path` streams per-epoch JSONL
     metrics (utils.logging.MetricsLogger)."""
 
-    def __init__(self, verbose=True, log_path=None):
+    def __init__(self, verbose=True, log_path=None, keep_best=False):
         from ..utils.logging import MetricsLogger
 
         self.verbose = verbose
         self.logger = MetricsLogger(log_path)
         self.history_train = []
         self.history_val = []
+        # best-val model selection (no reference counterpart — the reference
+        # evaluates whatever params the last epoch left behind, which the
+        # QUALITY_r05 stage-3 trajectory showed can be the overfit worst-val
+        # point). When enabled and a val loader exists, the epoch loop keeps
+        # the params of the best-val epoch (a pytree reference — HBM-resident,
+        # no host transfer) and restores them after the last epoch.
+        self.keep_best = keep_best
+        self._best_val = None
+        self._best_params = None
+        self.best_epoch = None
+
+    def _track_best(self, val_loss: float):
+        if not self.keep_best or val_loss != val_loss:  # disabled or NaN
+            return
+        if self._best_val is None or val_loss < self._best_val:
+            self._best_val = val_loss
+            self._best_params = self.state.params
+            self.best_epoch = len(self.history_val)
+
+    def _restore_best(self):
+        if self.keep_best and self._best_params is not None:
+            if self.verbose and self.state.params is not self._best_params:
+                print(
+                    f"restoring best-val params (epoch {self.best_epoch + 1}, "
+                    f"val {self._best_val:.6f})"
+                )
+            self.state = TrainState(
+                params=self._best_params,
+                opt_state=self.state.opt_state,
+                step=self.state.step,
+            )
+            self._best_params = None
 
     def release_training_state(self):
         """Analog of the reference teardown (Segmentator_pretrain.py:265-282):
@@ -296,8 +328,9 @@ class SegmentatorTrainer(_BaseTrainer):
         compute_dtype=None,
         verbose: bool = True,
         log_path=None,
+        keep_best: bool = False,
     ):
-        super().__init__(verbose, log_path)
+        super().__init__(verbose, log_path, keep_best)
         self.model = model
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -329,6 +362,7 @@ class SegmentatorTrainer(_BaseTrainer):
                     vn += images.shape[0]
                 val_loss = vtotal / max(vn, 1)
 
+            self._track_best(val_loss)
             self.history_train.append(train_loss)
             self.history_val.append(val_loss)
             self.logger.log(epoch, train_loss=train_loss, val_loss=val_loss)
@@ -337,6 +371,7 @@ class SegmentatorTrainer(_BaseTrainer):
                     f"Epoch [{epoch+1}/{self.num_epochs}] "
                     f"Train Loss: {train_loss:.6f} Val Loss: {val_loss:.6f}"
                 )
+        self._restore_best()
         return {"train_loss": self.history_train, "val_loss": self.history_val}
 
 
@@ -355,8 +390,9 @@ class UpscalerTrainer(_BaseTrainer):
         compute_dtype=None,
         verbose: bool = True,
         log_path=None,
+        keep_best: bool = False,
     ):
-        super().__init__(verbose, log_path)
+        super().__init__(verbose, log_path, keep_best)
         self.model = model
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -384,6 +420,7 @@ class UpscalerTrainer(_BaseTrainer):
                     vtotal += float(self._eval(self.state.params, jnp.asarray(hr)))
                 val_loss = vtotal / max(len(self.val_loader), 1)
 
+            self._track_best(val_loss)
             self.history_train.append(train_loss)
             self.history_val.append(val_loss)
             self.logger.log(epoch, train_loss=train_loss, val_loss=val_loss)
@@ -392,6 +429,7 @@ class UpscalerTrainer(_BaseTrainer):
                     f"Epoch [{epoch+1}/{self.num_epochs}] "
                     f"Train Loss: {train_loss:.6f} Val Loss: {val_loss:.6f}"
                 )
+        self._restore_best()
         return {"train_loss": self.history_train, "val_loss": self.history_val}
 
 
@@ -414,8 +452,9 @@ class FullModelTrainer(_BaseTrainer):
         compute_dtype=None,
         verbose: bool = True,
         log_path=None,
+        keep_best: bool = False,
     ):
-        super().__init__(verbose, log_path)
+        super().__init__(verbose, log_path, keep_best)
         self.model = model
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -460,6 +499,7 @@ class FullModelTrainer(_BaseTrainer):
                 if self.val_loader is not None
                 else {k: float("nan") for k in ("loss", "seg_lr", "seg_hr", "rec")}
             )
+            self._track_best(val_m["loss"])
             self.history_train.append(train_m)
             self.history_val.append(val_m)
             self.logger.log(epoch, **{f"train_{k}": v for k, v in train_m.items()})
@@ -471,4 +511,5 @@ class FullModelTrainer(_BaseTrainer):
                     f"iou_hr {train_m['iou_hr']:.3f}) "
                     f"Val {val_m['loss']:.4f}"
                 )
+        self._restore_best()
         return {"train": self.history_train, "val": self.history_val}

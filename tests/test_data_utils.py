@@ -247,3 +247,45 @@ class TestCalibration:
         t_d = np.array([p["d_com"] for p in target])
         hit = sum(1 for p in got_t if np.abs(t_d - p["d_com"]).min() < 0.05)
         assert hit >= len(target) - 1, (hit, len(target))
+
+
+class TestThetaFlipAugment:
+    def test_joint_flip(self):
+        from swinwnet_tpu.data.noise import make_theta_flip_augment
+
+        rng = np.random.default_rng(0)
+        images = np.arange(4 * 1 * 2 * 6, dtype=np.float32).reshape(4, 1, 2, 6)
+        masks = (images[:, 0] % 2).astype(np.float32)
+        aug = make_theta_flip_augment(p=1.0)
+        fi, fm = aug(rng, images, masks)
+        # every sample mirrored along W, image and mask together
+        np.testing.assert_array_equal(fi, images[..., ::-1])
+        np.testing.assert_array_equal(fm, masks[..., ::-1])
+        # inputs untouched (copy semantics)
+        assert images[0, 0, 0, 0] == 0.0
+
+    def test_p_zero_is_identity_and_masks_optional(self):
+        from swinwnet_tpu.data.noise import make_theta_flip_augment
+
+        rng = np.random.default_rng(1)
+        images = np.random.default_rng(2).normal(size=(3, 1, 4, 5)).astype(np.float32)
+        aug = make_theta_flip_augment(p=0.0)
+        fi, fm = aug(rng, images, None)
+        np.testing.assert_array_equal(fi, images)
+        assert fm is None
+
+    def test_loader_joint_augment_keeps_pairs_aligned(self):
+        from swinwnet_tpu.data.noise import make_theta_flip_augment
+
+        images = np.arange(8 * 3 * 4, dtype=np.float32).reshape(8, 3, 4)
+        masks = images.copy()
+        loader = ArrayLoader(
+            images, masks, batch_size=4, joint_augment=make_theta_flip_augment(p=0.5),
+            seed=11,
+        )
+        flipped_any = False
+        for bi, bm in loader:
+            # image channel 0 must stay equal to its mask whether flipped or not
+            np.testing.assert_array_equal(bi[:, 0], bm)
+            flipped_any = flipped_any or not np.array_equal(bi[:, 0], images[: len(bm)])
+        assert loader.n_samples == 8

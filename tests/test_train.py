@@ -218,3 +218,58 @@ def test_native_batcher_drop_in(setup):
     assert len(hist["train_loss"]) == 2
     assert all(np.isfinite(v) for v in hist["train_loss"])
     assert _tree_diff(params, t.state.params)
+
+
+def test_keep_best_restores_best_val_params(setup):
+    """Best-val model selection: after train(), state.params are the params
+    of the lowest-val epoch, not the last epoch's (QUALITY_r05 stage-3
+    overfit monotonically — the eval saw worst-val params)."""
+    from swinwnet_tpu.train.trainers import SegmentatorTrainer
+
+    model, params, images, masks = setup
+    loader = [(np.asarray(images), np.asarray(masks))]
+    t = SegmentatorTrainer(
+        model, params, loader, val_loader=loader, num_epochs=1,
+        warmup_epochs=1, verbose=False, keep_best=True,
+    )
+    def snap(tree):
+        return [np.asarray(x).copy() for x in jax.tree.leaves(tree)]
+
+    # drive the mechanism directly with synthetic val losses
+    t._track_best(1.0)                      # epoch-0 params are the best
+    best = snap(t.state.params)
+    t.state, _ = t._step(t.state, images, masks)   # params move on
+    t.history_val.append(1.0)
+    t._track_best(2.0)                      # worse val: not recorded
+    moved = snap(t.state.params)
+    assert any(not np.allclose(a, b) for a, b in zip(best, moved))
+    t._restore_best()
+    restored = snap(t.state.params)
+    for a, b in zip(restored, best):
+        np.testing.assert_allclose(a, b)
+    assert t.best_epoch == 0
+
+    # NaN and disabled paths are no-ops
+    t2 = SegmentatorTrainer(
+        model, params, loader, num_epochs=1, warmup_epochs=1, verbose=False,
+    )
+    t2._track_best(float("nan"))
+    assert t2._best_params is None
+    t2._restore_best()  # must not raise with nothing recorded
+
+
+def test_keep_best_end_to_end(setup):
+    """train() with keep_best + a val loader records a best epoch and returns
+    finite histories."""
+    from swinwnet_tpu.train.trainers import SegmentatorTrainer
+
+    model, params, images, masks = setup
+    loader = [(np.asarray(images), np.asarray(masks))]
+    t = SegmentatorTrainer(
+        model, params, loader, val_loader=loader, num_epochs=2,
+        warmup_epochs=1, verbose=False, keep_best=True,
+    )
+    hist = t.train()
+    assert len(hist["val_loss"]) == 2
+    assert t.best_epoch in (0, 1)
+    assert all(np.isfinite(v) for v in hist["val_loss"])
