@@ -156,6 +156,9 @@ def _preflight(
         "unit": "images/sec/chip",
         # machine-readable marker: 'infra down', not 'bench crashed' (ADVICE r04)
         "infra_failure": True,
+        # the standing hardware record if this round can't produce one
+        "standing_record": {"run": "BENCH_r03 + PERFORMANCE.md round-5 campaign",
+                            "value": 46.19, "unit": "images/sec/chip"},
         "error": result.get(
             "error", f"device unreachable: trivial matmul did not complete in {timeout_s:.0f}s"
         ),
